@@ -1,0 +1,57 @@
+"""CLI entry point — same surface as the reference main.py:16-47:
+
+    python main.py --task charades --predictor rnn --mode train
+
+plus TPU-native flags (--precision, --dp_size, --use_pallas, ...). See
+vslnet_tpu/config.py for the full flag list.
+"""
+import os
+import sys
+
+from vslnet_tpu.config import build_parser, Config, load_saved_config
+from vslnet_tpu.data.datasets import gen_or_load_dataset
+from vslnet_tpu.data.features import load_video_features
+from vslnet_tpu.train.runner import Runner
+
+
+def main(argv=None):
+    parser = build_parser()
+    ns = parser.parse_args(argv)
+    configs = Config(**vars(ns))
+
+    if configs.mode.lower() == "test":
+        # reload train-time configs, then re-apply explicit CLI overrides
+        # (reference main.py:120-123)
+        model_dir = os.path.join(configs.home_dir(), "model")
+        if not os.path.exists(os.path.join(model_dir, "configs.json")):
+            raise ValueError("No pre-trained weights exist")
+        explicit = {
+            a.lstrip("-").split("=")[0]
+            for a in (argv if argv is not None else sys.argv[1:])
+            if a.startswith("--")
+        }
+        overrides = {k: v for k, v in vars(ns).items() if k in explicit}
+        overrides["mode"] = "test"
+        configs = load_saved_config(model_dir, overrides)
+
+    dataset = gen_or_load_dataset(configs)
+    configs.char_size = dataset["n_chars"]
+    visual_features = load_video_features(
+        os.path.join(configs.data_root, "features", configs.task, configs.fv),
+        configs.max_pos_len,
+    )
+    runner = Runner(configs, dataset, visual_features)
+    print(
+        "\x1b[1;33mTotal trainable parameters: {}\x1b[0m".format(runner.n_params()),
+        flush=True,
+    )
+    if configs.mode.lower() == "train":
+        runner.train()
+    elif configs.mode.lower() == "test":
+        runner.test()
+    else:
+        raise ValueError("Unknown mode {}!!!".format(configs.mode))
+
+
+if __name__ == "__main__":
+    main()

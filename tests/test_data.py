@@ -1,0 +1,139 @@
+"""Data-pipeline tests: feature sampling, highlight labels, static batching,
+processors on the real annotation files."""
+import numpy as np
+import pytest
+
+from vslnet_tpu.config import Config
+from vslnet_tpu.data.features import visual_feature_sampling
+from vslnet_tpu.data.loader import (
+    TrainLoader, make_highlight_labels, _static_caps,
+)
+from vslnet_tpu.data.loader import TestLoader as EvalLoader
+from vslnet_tpu.data.synthetic import synthetic_dataset
+
+
+def test_visual_feature_sampling_noop_when_short():
+    x = np.random.randn(100, 8).astype(np.float32)
+    out = visual_feature_sampling(x, 128)
+    assert out is x
+
+
+def test_visual_feature_sampling_downsamples():
+    x = np.arange(10, dtype=np.float32).reshape(10, 1)
+    out = visual_feature_sampling(x, 4)
+    assert out.shape == (4, 1)
+    # reference bucket math: idxs = np.round([0, 2.5, 5, 7.5, 10]) = [0,2,5,8,10]
+    # (banker's rounding), last clamped to 9; bucket 3 = [8,9) = {8}
+    expected = [np.mean([0, 1]), np.mean([2, 3, 4]), np.mean([5, 6, 7]), 8.0]
+    np.testing.assert_allclose(out[:, 0], expected)
+
+
+def test_visual_feature_sampling_empty_bucket():
+    # max=3 over 4 clips: idxs = round([0, 4/3, 8/3, 4]) = [0, 1, 3, 3(clamped)]
+    # bucket 2 is [3,3) -> empty -> take clip at s_idx
+    x = np.arange(4, dtype=np.float32).reshape(4, 1)
+    out = visual_feature_sampling(x, 3)
+    np.testing.assert_allclose(out[:, 0], [0.0, 1.5, 3.0])
+
+
+def test_highlight_labels_with_extension():
+    # span [4, 7] (len 4), extend 0.1 -> round(0.4) = 0 -> no extension
+    h = make_highlight_labels(4, 7, 16, 16, 0.1)
+    assert h.sum() == 4 and h[4:8].all()
+    # span [4, 13] (len 10), extend 0.1 -> 1 each side
+    h = make_highlight_labels(4, 13, 16, 16, 0.1)
+    assert h[3:15].all() and h.sum() == 12
+    # clipping at v_len - 1
+    h = make_highlight_labels(10, 15, 16, 32, 0.5)
+    # extend = round(0.5*6) = 3 -> [7, min(18, 15)] = [7, 15]
+    assert h[7:16].all() and h.sum() == 9
+
+
+def _configs(**kw):
+    cfg = Config(batch_size=8, max_pos_len=32, video_feature_dim=16, epochs=1)
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_train_loader_static_shapes():
+    cfg = _configs()
+    dataset, feats = synthetic_dataset(
+        n_train=20, n_test=10, max_pos_len=32, video_feature_dim=16, seed=1
+    )
+    loader = TrainLoader(dataset["train_set"], feats, cfg)
+    shapes = set()
+    n_rows = 0
+    for records, batch in loader.batch_iter():
+        shapes.add(batch["vfeats"].shape)
+        assert batch["word_ids"].shape[0] == 8
+        assert batch["s_labels"].shape == (8, 32)
+        assert (batch["s_labels"].sum(axis=1) == 1).all()
+        assert (batch["e_labels"].sum(axis=1) == 1).all()
+        n_rows += int(batch["batch_mask"].sum())
+    assert len(shapes) == 1  # every batch identical shape -> one jit compile
+    assert n_rows == 20  # padded rows masked out, real rows all covered
+
+
+def test_train_loader_labels_match_records():
+    cfg = _configs(batch_size=4)
+    dataset, feats = synthetic_dataset(
+        n_train=8, n_test=4, max_pos_len=32, video_feature_dim=16, seed=2
+    )
+    loader = TrainLoader(dataset["train_set"], feats, cfg)
+    for records, batch in loader.batch_iter():
+        for row, rec in enumerate(records):
+            assert batch["s_labels"][row, rec["s_ind"]] == 1
+            assert batch["e_labels"][row, rec["e_ind"]] == 1
+            assert batch["v_len"][row] == rec["v_len"]
+            np.testing.assert_array_equal(
+                batch["word_ids"][row, : len(rec["w_ids"])], rec["w_ids"]
+            )
+
+
+def test_test_loader_covers_all_records():
+    cfg = _configs(batch_size=8)
+    dataset, feats = synthetic_dataset(
+        n_train=4, n_test=13, max_pos_len=32, video_feature_dim=16, seed=3
+    )
+    loader = EvalLoader(dataset, feats, cfg)
+    seen = []
+    for records, batch in loader.test_iter("test"):
+        assert batch["vfeats"].shape[0] == 8
+        seen.extend(r["sample_id"] for r in records)
+    assert sorted(seen) == [r["sample_id"] for r in dataset["test_set"]]
+
+
+def test_static_caps_derivation():
+    cfg = _configs()
+    dataset, _ = synthetic_dataset(
+        n_train=16, n_test=8, max_pos_len=32, video_feature_dim=16, seed=4
+    )
+    w, c = _static_caps([dataset["train_set"], dataset["test_set"]], cfg)
+    true_w = max(len(r["w_ids"]) for r in
+                 dataset["train_set"] + dataset["test_set"])
+    assert w == true_w
+    assert c == max(
+        len(cs) for r in dataset["train_set"] + dataset["test_set"]
+        for cs in r["c_ids"]
+    )
+
+
+def test_charades_processor_on_real_annotations():
+    import os
+    data_dir = "/root/reference/data/dataset/charades"
+    if not os.path.exists(data_dir):
+        pytest.skip("reference annotations unavailable")
+    from vslnet_tpu.data.processors import CharadesProcessor
+
+    train, val, test = CharadesProcessor().convert(data_dir)
+    assert val is None
+    assert len(train) == 12404 or len(train) > 12000  # 12,408 lines, minus blanks
+    assert len(test) > 3000
+    rec = train[0]
+    assert set(rec) == {"sample_id", "vid", "s_time", "e_time", "duration",
+                        "words"}
+    assert rec["s_time"] >= 0.0 and rec["e_time"] <= rec["duration"] + 1e-6
+    assert all(w == w.lower() for w in rec["words"])
+    # sample_ids are consecutive
+    assert [r["sample_id"] for r in train[:5]] == [0, 1, 2, 3, 4]

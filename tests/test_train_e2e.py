@@ -1,0 +1,170 @@
+"""End-to-end smoke tests: tiny synthetic dataset, full Runner train/test
+loop, 8-device CPU mesh data parallelism, checkpoint resume, determinism."""
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from vslnet_tpu.config import Config
+from vslnet_tpu.data.synthetic import synthetic_dataset
+from vslnet_tpu.parallel.mesh import make_mesh
+from vslnet_tpu.train.runner import Runner
+
+
+def tiny_configs(tmp_path, **kw):
+    cfg = Config(
+        batch_size=8,
+        max_pos_len=16,
+        video_feature_dim=12,
+        hidden_size=16,
+        char_dim=4,
+        word_dim=8,
+        num_heads=4,
+        epochs=2,
+        period=2,
+        model_dir=str(tmp_path / "ckpt"),
+        save_dir=str(tmp_path / "datasets"),
+        log_to_tensorboard=False,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def tiny_data(cfg, seed=0, n_train=24, n_test=8):
+    return synthetic_dataset(
+        n_train=n_train, n_test=n_test, n_videos=6,
+        n_words=40, n_chars=12,
+        max_pos_len=cfg.max_pos_len, video_feature_dim=cfg.video_feature_dim,
+        word_dim=cfg.word_dim, min_video_len=4, seed=seed,
+    )
+
+
+@pytest.mark.parametrize("predictor", ["rnn", "transformer"])
+def test_train_loop_decreases_loss(tmp_path, predictor):
+    cfg = tiny_configs(tmp_path, predictor=predictor, epochs=3)
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    assert runner.n_params() > 0
+    results = runner.train(verbose=False)
+    assert results["global_step"] == runner.train_loader.num_batches() * 3
+    assert results["best_r1i7"] >= 0.0
+    # loss logged + eval_results.txt written in reference format
+    score_file = os.path.join(runner.model_dir, "eval_results.txt")
+    with open(score_file) as f:
+        content = f.read()
+    assert "Rank@1, IoU=0.7" in content and "mean IoU" in content
+    assert os.path.exists(os.path.join(runner.model_dir, "configs.json"))
+
+
+def test_checkpoint_save_restore_roundtrip(tmp_path):
+    """Direct manager round-trip: saved tree == restored tree, bit-exact."""
+    from vslnet_tpu.train.checkpoints import CheckpointManager, abstract_like
+
+    cfg = tiny_configs(tmp_path, epochs=1)
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    params_saved = jax.tree.map(np.asarray, runner.params)
+    mgr = CheckpointManager(str(tmp_path / "m"), max_to_keep=3)
+    mgr.save(7, runner.params, runner.opt_state, extra={"r1i7": 12.5})
+    step, restored = mgr.restore(
+        abstract_tree={
+            "params": abstract_like(params_saved),
+            "opt_state": abstract_like(
+                jax.tree.map(
+                    lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                    runner.opt_state,
+                )
+            ),
+        }
+    )
+    mgr.close()
+    assert step == 7
+    assert restored["extra"]["r1i7"] == 12.5
+    jax.tree.map(
+        np.testing.assert_array_equal, params_saved,
+        jax.tree.map(np.asarray, restored["params"]),
+    )
+
+
+def test_runner_restores_best_checkpoint_metrics(tmp_path):
+    """Reference behavior: checkpoints gate on best R1@0.7 (main.py:111-114);
+    a fresh Runner restoring from disk must reproduce the best eval metrics,
+    not the final-step metrics."""
+    cfg = tiny_configs(tmp_path, epochs=2)
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    results = runner.train(verbose=False)
+    cfg2 = tiny_configs(tmp_path, epochs=2, mode="test")
+    runner2 = Runner(cfg2, dataset, feats)
+    runner2.restore()
+    r1i3, r1i5, r1i7, mi, *_ = runner2.evaluate(mode="test")
+    assert r1i7 == results["best_r1i7"]
+
+
+def test_data_parallel_8_devices_matches_single(tmp_path):
+    """Same seed, dp=8 vs dp=1: train-step math must agree (GSPMD all-reduce
+    over the simulated mesh)."""
+    assert jax.device_count() == 8
+    cfg1 = tiny_configs(tmp_path / "a", epochs=1, dp_size=1)
+    cfg8 = tiny_configs(tmp_path / "b", epochs=1, dp_size=8)
+    dataset, feats = tiny_data(cfg1)
+    r1 = Runner(cfg1, dataset, feats, mesh=make_mesh(1))
+    r8 = Runner(cfg8, dataset, feats, mesh=make_mesh(8))
+    # identical init (same seed)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        r1.params, r8.params,
+    )
+    from vslnet_tpu.parallel.mesh import shard_batch
+
+    _, batch = next(iter(r1.train_loader.batch_iter()))
+    b1 = shard_batch(batch, r1.mesh)
+    b8 = shard_batch(batch, r8.mesh)
+    p1, o1, m1 = r1.train_step(r1.params, r1.frozen, r1.opt_state, b1, r1.rng, 0)
+    p8, o8, m8 = r8.train_step(r8.params, r8.frozen, r8.opt_state, b8, r8.rng, 0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        p1, p8,
+    )
+
+
+def test_determinism_same_seed_same_losses(tmp_path):
+    cfg = tiny_configs(tmp_path / "x", epochs=1)
+    dataset, feats = tiny_data(cfg)
+
+    def losses(workdir):
+        c = tiny_configs(workdir, epochs=1)
+        r = Runner(c, dataset, feats)
+        from vslnet_tpu.parallel.mesh import shard_batch
+
+        out = []
+        for _, batch in r.train_loader.batch_iter():
+            batch = shard_batch(batch, r.mesh)
+            r.params, r.opt_state, m = r.train_step(
+                r.params, r.frozen, r.opt_state, batch, r.rng, len(out)
+            )
+            out.append(float(m["loss"]))
+        return out
+
+    a = losses(tmp_path / "r1")
+    b = losses(tmp_path / "r2")
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_eval_indices_within_valid_range(tmp_path):
+    cfg = tiny_configs(tmp_path, epochs=1)
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    from vslnet_tpu.parallel.mesh import shard_batch
+
+    for records, batch in runner.test_loader.test_iter("test"):
+        batch = shard_batch(batch, runner.mesh)
+        s, e = runner.eval_step(runner.params, runner.frozen, batch)
+        s, e = np.asarray(s), np.asarray(e)
+        for row, rec in enumerate(records):
+            assert 0 <= s[row] <= e[row] < rec["v_len"]

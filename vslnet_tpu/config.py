@@ -1,0 +1,126 @@
+"""Config / flag system.
+
+Mirrors the reference CLI surface (main.py:16-47) — same flag names, same
+defaults, same `configs.json` persistence + test-time reload semantics — and
+adds TPU-native knobs (mesh shape, precision, static padding caps).
+"""
+import argparse
+import dataclasses
+import os
+from typing import Optional
+
+
+@dataclasses.dataclass
+class Config:
+    # data parameters (reference main.py:18-21)
+    save_dir: str = "datasets"
+    task: str = "charades"
+    fv: str = "new"
+    max_pos_len: int = 128
+    # model parameters (reference main.py:23-31)
+    char_size: Optional[int] = None
+    word_dim: int = 300
+    video_feature_dim: int = 1024
+    char_dim: int = 50
+    hidden_size: int = 128
+    highlight_lambda: float = 5.0
+    num_heads: int = 8
+    drop_rate: float = 0.2
+    predictor: str = "rnn"
+    # training / evaluation parameters (reference main.py:33-46)
+    gpu_idx: str = "0"  # kept for CLI compat; unused on TPU
+    seed: int = 12345
+    mode: str = "train"
+    epochs: int = 100
+    batch_size: int = 16
+    num_train_steps: Optional[int] = None
+    init_lr: float = 0.0001
+    clip_norm: float = 1.0
+    warmup_proportion: float = 0.0
+    extend: float = 0.1
+    period: int = 100
+    model_dir: str = "ckpt"
+    model_name: str = "vslnet"
+    suffix: Optional[str] = None
+    # --- TPU-native extensions ---
+    data_root: str = "data"            # root holding dataset/ and features/
+    glove_path: Optional[str] = None   # overrides {data_root}/features/glove...
+    max_words: Optional[int] = None    # static query-word cap (None: from data)
+    max_chars: Optional[int] = None    # static word-char cap (None: from data)
+    precision: str = "fp32"            # [fp32 | bf16] compute precision
+    use_pallas: bool = False           # fused Pallas kernels for hot blocks
+    dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
+    word_size: Optional[int] = None    # vocab cap (torch-ref main_t7.py flag)
+    l2_decay: float = 3e-7             # kernel l2 regularization scale
+    log_to_tensorboard: bool = True
+    eval_period: Optional[int] = None  # None: num_train_batches // 2
+
+    def home_dir(self):
+        """Checkpoint dir naming, identical to reference main.py:67-70."""
+        home = os.path.join(
+            self.model_dir,
+            "_".join(
+                [self.model_name, self.task, self.fv, str(self.max_pos_len),
+                 self.predictor]
+            ),
+        )
+        if self.suffix is not None:
+            home = home + "_" + self.suffix
+        return home
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="vslnet_tpu")
+    for field in dataclasses.fields(Config):
+        default = field.default
+        if field.name in ("use_pallas", "log_to_tensorboard"):
+            parser.add_argument(
+                "--" + field.name,
+                type=lambda s: s.lower() in ("1", "true", "yes"),
+                default=default,
+            )
+            continue
+        if field.type in ("Optional[int]", Optional[int]):
+            argtype = int
+        elif field.type in ("Optional[str]", Optional[str]):
+            argtype = str
+        elif isinstance(default, bool):
+            argtype = bool
+        elif isinstance(default, int):
+            argtype = int
+        elif isinstance(default, float):
+            argtype = float
+        else:
+            argtype = str
+        parser.add_argument("--" + field.name, type=argtype, default=default)
+    return parser
+
+
+def parse_args(argv=None):
+    parser = build_parser()
+    ns = parser.parse_args(argv)
+    return Config(**vars(ns))
+
+
+def load_saved_config(model_dir, overrides=None):
+    """Test-mode config reload (reference main.py:120-123): saved values are
+    re-applied as defaults, then overridden by explicit CLI args."""
+    from vslnet_tpu.data.io import load_json
+
+    pre = load_json(os.path.join(model_dir, "configs.json"))
+    known = {f.name for f in dataclasses.fields(Config)}
+    cfg = Config(**{k: v for k, v in pre.items() if k in known})
+    for k, v in (overrides or {}).items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def save_config(configs, model_dir):
+    from vslnet_tpu.data.io import save_json
+
+    save_json(
+        dataclasses.asdict(configs),
+        os.path.join(model_dir, "configs.json"),
+        sort_keys=True,
+        save_pretty=True,
+    )

@@ -1,0 +1,516 @@
+"""VSLNet building blocks as Flax modules.
+
+Semantics follow the TF reference (the accuracy ground truth; all citations
+are to /root/reference/model/layers.py unless noted):
+
+- layer norm over the last dim, eps 1e-6 (:11-21);
+- multiplicative -1e30 mask (model/ops.py:35-37);
+- multi-head attention WITHOUT an output projection (:123-156 — the torch
+  variant adds one, layers_t7.py:154; we match TF);
+- QANet encoder: learned posemb -> 4x depthwise-separable conv layers ->
+  one pre-LN MHA block (:178-187), weights SHARED between video and query;
+- context-query attention with the low-rank trilinear score (model/ops.py:40-62);
+- conditioned span predictor with `rnn` (two stacked unidirectional LSTMs)
+  or `transformer` (two weight-shared encoder passes + per-head LN) modes
+  (:252-275).
+
+Compute dtype is configurable (fp32 parity / bf16 perf); masked-softmax and
+normalization statistics stay in fp32.
+"""
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vslnet_tpu.ops.masking import mask_logits
+
+Dtype = Any
+
+glorot = nn.initializers.glorot_uniform
+zeros_init = nn.initializers.zeros
+ones_init = nn.initializers.ones
+
+
+def dot_precision(dtype):
+    """fp32 parity mode forces exact f32 matmuls (this JAX build's default
+    matmul precision is reduced even on CPU); bf16 keeps the fast default."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
+class LayerNorm(nn.Module):
+    """LN over the last dim; params named scale/bias so the AdamW no-decay
+    filter (paths containing 'layer_norm' or leaf 'bias') catches them, like
+    the reference's exclude list (model/ops.py:82)."""
+
+    epsilon: float = 1e-6
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        scale = self.param("scale", ones_init, (dim,), jnp.float32)
+        bias = self.param("bias", zeros_init, (dim,), jnp.float32)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        norm = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        return (norm * scale + bias).astype(self.dtype)
+
+
+class Conv1D(nn.Module):
+    """Kernel-size-1 conv == position-wise Linear (the QANet idiom, :59-72).
+    Bias off by default, matching the reference."""
+
+    dim: int
+    use_bias: bool = False
+    activation: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", glorot(), (x.shape[-1], self.dim), jnp.float32)
+        y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                    precision=dot_precision(self.dtype))
+        if self.use_bias:
+            bias = self.param("bias", zeros_init, (self.dim,), jnp.float32)
+            y = y + bias.astype(self.dtype)
+        if self.activation is not None:
+            y = self.activation(y)
+        return y
+
+
+class WordEmbedding(nn.Module):
+    """Frozen GloVe rows + trainable UNK + fixed zero PAD (:24-32).
+
+    The GloVe matrix lives in the separate 'frozen' variable collection so it
+    is neither trained nor decayed; table order [zero, unk, glove] matches the
+    PAD=0 / UNK=1 vocab ids.
+    """
+
+    vectors_shape: Tuple[int, int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, word_ids, *, deterministic, drop_rate):
+        dim = self.vectors_shape[1]
+        table = self.variable(
+            "frozen", "word_vectors",
+            lambda: jnp.zeros(self.vectors_shape, jnp.float32),
+        )
+        unk = self.param("unk", glorot(), (1, dim), jnp.float32)
+        zero = jnp.zeros((1, dim), jnp.float32)
+        word_table = jnp.concatenate([zero, unk, table.value], axis=0)
+        emb = jnp.take(word_table, word_ids, axis=0).astype(self.dtype)
+        return nn.Dropout(rate=drop_rate, deterministic=deterministic)(emb)
+
+
+class CharEmbedding(nn.Module):
+    """Char-CNN (:35-56): trainable [char_size-1, dim] table + zero PAD row,
+    parallel 1-D convs (widths 1/2/3/4, channels 10/20/30/40 by default),
+    ReLU, max over the char axis, concat."""
+
+    char_size: int
+    dim: int
+    kernels: Sequence[int] = (1, 2, 3, 4)
+    filters: Sequence[int] = (10, 20, 30, 40)
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, char_ids, *, deterministic, drop_rate):
+        table = self.param(
+            "char_table", glorot(), (self.char_size - 1, self.dim), jnp.float32
+        )
+        zero = jnp.zeros((1, self.dim), jnp.float32)
+        char_table = jnp.concatenate([zero, table], axis=0)
+        emb = jnp.take(char_table, char_ids, axis=0)  # [B, W, C, dim]
+        emb = nn.Dropout(rate=drop_rate, deterministic=deterministic)(emb)
+        emb = emb.astype(self.dtype)
+        B, W, C, D = emb.shape
+        outputs = []
+        for i, (kernel, channel) in enumerate(zip(self.kernels, self.filters)):
+            weight = self.param(
+                "filter_%d" % i, glorot(), (1, kernel, D, channel), jnp.float32
+            )
+            bias = self.param("bias_%d" % i, zeros_init, (channel,), jnp.float32)
+            # VALID conv along the char axis; batch folds (B, W) together.
+            x = emb.reshape(B * W, C, D)
+            y = jax.lax.conv_general_dilated(
+                x,
+                weight[0].astype(self.dtype),  # [kernel, D, channel]
+                window_strides=(1,),
+                padding="VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"),
+                preferred_element_type=self.dtype,
+                precision=dot_precision(self.dtype),
+            )
+            y = y + bias.astype(self.dtype)
+            y = jnp.max(nn.relu(y), axis=1)  # max over remaining char positions
+            outputs.append(y.reshape(B, W, channel))
+        return jnp.concatenate(outputs, axis=-1)
+
+
+class PositionalEmbedding(nn.Module):
+    """Learned absolute positions, sliced to the (static) seq len (:92-107)."""
+
+    max_position_length: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        seq_length, dim = x.shape[-2], x.shape[-1]
+        assert seq_length <= self.max_position_length, (
+            "sequence length %d exceeds max_pos_len %d"
+            % (seq_length, self.max_position_length)
+        )
+        table = self.param(
+            "position_embeddings", glorot(),
+            (self.max_position_length, dim), jnp.float32,
+        )
+        return x + table[:seq_length].astype(self.dtype)
+
+
+class DepthwiseSeparableConv(nn.Module):
+    """Depthwise (k x 1) + pointwise conv, SAME padding, bias, ReLU (:75-89)."""
+
+    kernel_size: int
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # x: [B, T, D]
+        in_dim = x.shape[-1]
+        depthwise = self.param(
+            "depthwise_filter", glorot(),
+            (self.kernel_size, 1, in_dim, 1), jnp.float32,
+        )
+        pointwise = self.param(
+            "pointwise_filter", glorot(), (1, 1, in_dim, self.dim), jnp.float32
+        )
+        bias = self.param("bias", zeros_init, (self.dim,), jnp.float32)
+        # depthwise conv along T: kernel [k, 1, in] per-channel
+        dw = depthwise[:, 0, :, 0]  # [k, in]
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            dw[:, None, :].astype(self.dtype),  # [k, 1(in/group), in(out)]
+            window_strides=(1,),
+            padding="SAME",
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=in_dim,
+            preferred_element_type=self.dtype,
+            precision=dot_precision(self.dtype),
+        )
+        y = jnp.dot(y, pointwise[0, 0].astype(self.dtype),
+                    preferred_element_type=self.dtype,
+                    precision=dot_precision(self.dtype))
+        y = y + bias.astype(self.dtype)
+        return nn.relu(y)
+
+
+class ConvBlock(nn.Module):
+    """num_layers x {pre-LN -> depthwise-separable conv -> dropout -> +res}
+    (:110-120)."""
+
+    kernel_size: int
+    dim: int
+    num_layers: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic, drop_rate):
+        for layer_idx in range(self.num_layers):
+            residual = x
+            y = LayerNorm(dtype=self.dtype, name="layer_norm_%d" % layer_idx)(x)
+            y = DepthwiseSeparableConv(
+                kernel_size=self.kernel_size, dim=self.dim, dtype=self.dtype,
+                name="depthwise_conv_layers_%d" % layer_idx,
+            )(y)
+            y = nn.Dropout(rate=drop_rate, deterministic=deterministic)(y)
+            x = y + residual
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Plain MHA (:123-156): QKV conv1d projections with bias, 1/sqrt(head)
+    scaling, additive -1e30 key mask, softmax dropout, head merge. No output
+    projection (TF parity)."""
+
+    dim: int
+    num_heads: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic, drop_rate):
+        if self.dim % self.num_heads != 0:
+            raise ValueError(
+                "The hidden size (%d) is not a multiple of the attention heads"
+                " (%d)" % (self.dim, self.num_heads)
+            )
+        B, T, _ = x.shape
+        head_size = self.dim // self.num_heads
+
+        def split_heads(t):
+            return t.reshape(B, T, self.num_heads, head_size).transpose(0, 2, 1, 3)
+
+        query = split_heads(Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                                   name="query")(x))
+        key = split_heads(Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                                 name="key")(x))
+        value = split_heads(Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                                   name="value")(x))
+        query = query * (1.0 / math.sqrt(float(head_size)))
+        score = jnp.einsum("bhqd,bhkd->bhqk", query, key,
+                           preferred_element_type=jnp.float32,
+                           precision=dot_precision(self.dtype))
+        if mask is not None:
+            m = mask.astype(jnp.float32).reshape(B, 1, 1, T)
+            score = score + (1.0 - m) * -1e30
+        probs = jax.nn.softmax(score, axis=-1)
+        probs = nn.Dropout(rate=drop_rate, deterministic=deterministic)(probs)
+        out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(self.dtype), value,
+                         preferred_element_type=self.dtype,
+                         precision=dot_precision(self.dtype))
+        return out.transpose(0, 2, 1, 3).reshape(B, T, self.dim)
+
+
+class MultiHeadAttentionBlock(nn.Module):
+    """Pre-LN attention + 1-layer FFN block with the reference's exact
+    dropout/residual placement (:159-175)."""
+
+    dim: int
+    num_heads: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic, drop_rate):
+        drop = lambda t: nn.Dropout(rate=drop_rate, deterministic=deterministic)(t)
+        y = LayerNorm(dtype=self.dtype, name="layer_norm_1")(x)
+        y = drop(y)
+        y = MultiHeadAttention(
+            dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+            name="multihead_attention",
+        )(y, mask=mask, deterministic=deterministic, drop_rate=drop_rate)
+        y = drop(y)
+        residual = y + x
+        y = LayerNorm(dtype=self.dtype, name="layer_norm_2")(residual)
+        y = drop(y)
+        y = Conv1D(self.dim, use_bias=self.use_bias, dtype=self.dtype,
+                   name="dense")(y)
+        y = drop(y)
+        return y + residual
+
+
+class FeatureEncoder(nn.Module):
+    """posemb -> conv block -> MHA block (:178-187). A single instance is
+    applied to both video and query features so weights (incl. the positional
+    table) are shared, matching model/VSLNet.py:54-59."""
+
+    hidden_size: int
+    num_heads: int
+    max_position_length: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic, drop_rate):
+        x = PositionalEmbedding(
+            max_position_length=self.max_position_length, dtype=self.dtype,
+            name="positional_embedding",
+        )(x)
+        x = ConvBlock(
+            kernel_size=7, dim=self.hidden_size, num_layers=4, dtype=self.dtype,
+            name="conv_block",
+        )(x, deterministic=deterministic, drop_rate=drop_rate)
+        x = MultiHeadAttentionBlock(
+            dim=self.hidden_size, num_heads=self.num_heads, dtype=self.dtype,
+            name="multihead_attention_block",
+        )(x, mask=mask, deterministic=deterministic, drop_rate=drop_rate)
+        return x
+
+
+class CQAttention(nn.Module):
+    """Context-query attention (:190-206) with the low-rank trilinear score
+    (model/ops.py:40-62): S = v.w0 + (q.w1)^T + (v*w_mul)q^T, masked row/col
+    softmaxes, v2q / q2v, concat -> conv1d."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video, query, v_mask, q_mask, *, deterministic, drop_rate):
+        d = video.shape[-1]
+        w4v = self.param("linear_kernel4arg0", glorot(), (d, 1), jnp.float32)
+        w4q = self.param("linear_kernel4arg1", glorot(), (d, 1), jnp.float32)
+        w4mul = self.param("linear_kernel4mul", glorot(), (1, 1, d), jnp.float32)
+        drop = lambda t: nn.Dropout(rate=drop_rate, deterministic=deterministic)(t)
+        v_d, q_d = drop(video), drop(query)
+        sub0 = jnp.dot(v_d, w4v.astype(self.dtype),
+                       preferred_element_type=self.dtype,
+                       precision=dot_precision(self.dtype))        # [B, T, 1]
+        sub1 = jnp.dot(q_d, w4q.astype(self.dtype),
+                       preferred_element_type=self.dtype,
+                       precision=dot_precision(self.dtype))        # [B, W, 1]
+        sub2 = jnp.einsum("btd,bwd->btw", v_d * w4mul[0].astype(self.dtype), q_d,
+                          preferred_element_type=jnp.float32,
+                          precision=dot_precision(self.dtype))
+        score = sub0.astype(jnp.float32) + jnp.swapaxes(
+            sub1.astype(jnp.float32), 1, 2) + sub2               # [B, T, W]
+        # row softmax over query words, col softmax over video positions
+        score_q = jax.nn.softmax(
+            mask_logits(score, q_mask[:, None, :]), axis=-1).astype(self.dtype)
+        score_v = jax.nn.softmax(
+            mask_logits(score, v_mask[:, :, None]), axis=1).astype(self.dtype)
+        score_vt = jnp.swapaxes(score_v, 1, 2)                   # [B, W, T]
+        v2q = jnp.einsum("btw,bwd->btd", score_q, query,
+                         preferred_element_type=self.dtype,
+                         precision=dot_precision(self.dtype))
+        q2v = jnp.einsum("btw,bws,bsd->btd", score_q, score_vt, video,
+                         preferred_element_type=self.dtype,
+                         precision=dot_precision(self.dtype))
+        out = jnp.concatenate([video, v2q, video * v2q, video * q2v], axis=-1)
+        out = Conv1D(self.dim, use_bias=False, dtype=self.dtype, name="dense")(out)
+        return out, score
+
+
+class CQConcat(nn.Module):
+    """Scalar-attention pooled query, tiled over T, concat, conv1d (:209-224)."""
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, qfeats, q_mask):
+        d = qfeats.shape[-1]
+        weight = self.param("weight", glorot(), (d, 1), jnp.float32)
+        logits = jnp.dot(qfeats, weight.astype(self.dtype),
+                         preferred_element_type=self.dtype,
+                         precision=dot_precision(self.dtype))  # [B, W, 1]
+        logits = mask_logits(logits, q_mask[:, :, None])
+        alphas = jax.nn.softmax(logits, axis=1).astype(self.dtype)
+        pooled = jnp.einsum("bwd,bwo->bd", qfeats, alphas,
+                            preferred_element_type=self.dtype,
+                            precision=dot_precision(self.dtype))  # [B, d]
+        T = x.shape[1]
+        tiled = jnp.broadcast_to(pooled[:, None, :], (x.shape[0], T, d))
+        out = jnp.concatenate([x, tiled], axis=-1)
+        return Conv1D(self.dim, use_bias=True, dtype=self.dtype, name="dense")(out)
+
+
+class HighlightLayer(nn.Module):
+    """Per-frame logit head (:227-242); loss lives in losses.py."""
+
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, v_mask):
+        logits = Conv1D(1, use_bias=True, dtype=self.dtype, name="dense")(x)
+        logits = jnp.squeeze(logits, axis=-1)
+        logits = mask_logits(logits, v_mask)  # fp32 out
+        scores = jax.nn.sigmoid(logits)
+        return logits, scores
+
+
+class LSTMEncoder(nn.Module):
+    """Unidirectional LSTM over T with TF LSTMCell semantics (:245-249):
+    gate order [i, j, f, o], forget_bias 1.0, no peepholes; outputs zeroed and
+    state frozen past each row's seq_len (tf.nn.dynamic_rnn behavior).
+    Implemented as a lax.scan over time — static trip count, TPU-compatible.
+    """
+
+    dim: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, seq_len):
+        B, T, in_dim = x.shape
+        kernel = self.param(
+            "kernel", glorot(), (in_dim + self.dim, 4 * self.dim), jnp.float32
+        )
+        bias = self.param("bias", zeros_init, (4 * self.dim,), jnp.float32)
+        k = kernel.astype(self.dtype)
+        b = bias.astype(self.dtype)
+        xs = jnp.swapaxes(x, 0, 1)  # [T, B, in]
+
+        def step(carry, inp):
+            c, h, t = carry
+            x_t = inp
+            gates = jnp.dot(
+                jnp.concatenate([x_t, h], axis=-1), k,
+                preferred_element_type=self.dtype,
+                precision=dot_precision(self.dtype),
+            ) + b
+            i, j, f, o = jnp.split(gates, 4, axis=-1)
+            new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
+            new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
+            valid = (t < seq_len)[:, None].astype(self.dtype)
+            c = valid * new_c + (1.0 - valid) * c
+            h_out = valid * new_h
+            h = valid * new_h + (1.0 - valid) * h
+            return (c, h, t + 1), h_out
+
+        init = (
+            jnp.zeros((B, self.dim), self.dtype),
+            jnp.zeros((B, self.dim), self.dtype),
+            jnp.zeros((), jnp.int32),
+        )
+        _, ys = jax.lax.scan(step, init, xs)
+        return jnp.swapaxes(ys, 0, 1)  # [B, T, dim]
+
+
+class ConditionedPredictor(nn.Module):
+    """Span predictor heads (:252-275). `rnn`: stacked LSTMs (start feeds
+    end). `transformer`: one FeatureEncoder applied twice (weight sharing via
+    a single module instance) + separate start/end LNs. Both: concat with the
+    block input -> ReLU conv -> 1-logit conv -> multiplicative mask."""
+
+    hidden_size: int
+    num_heads: int
+    max_position_length: int
+    mode: str = "rnn"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, seq_len, v_mask, *, deterministic, drop_rate):
+        if self.mode == "rnn":
+            start_features = LSTMEncoder(
+                dim=self.hidden_size, dtype=self.dtype, name="start_rnn"
+            )(x, seq_len)
+            end_features = LSTMEncoder(
+                dim=self.hidden_size, dtype=self.dtype, name="end_rnn"
+            )(start_features, seq_len)
+        else:
+            encoder = FeatureEncoder(
+                hidden_size=self.hidden_size, num_heads=self.num_heads,
+                max_position_length=self.max_position_length, dtype=self.dtype,
+                name="feature_encoder",
+            )
+            start_features = encoder(
+                x, mask=v_mask, deterministic=deterministic, drop_rate=drop_rate
+            )
+            end_features = encoder(
+                start_features, mask=v_mask, deterministic=deterministic,
+                drop_rate=drop_rate,
+            )
+            start_features = LayerNorm(dtype=self.dtype, name="s_layer_norm")(
+                start_features
+            )
+            end_features = LayerNorm(dtype=self.dtype, name="e_layer_norm")(
+                end_features
+            )
+        start_features = Conv1D(
+            self.hidden_size, use_bias=True, activation=nn.relu, dtype=self.dtype,
+            name="start_hidden",
+        )(jnp.concatenate([start_features, x], axis=-1))
+        end_features = Conv1D(
+            self.hidden_size, use_bias=True, activation=nn.relu, dtype=self.dtype,
+            name="end_hidden",
+        )(jnp.concatenate([end_features, x], axis=-1))
+        start_logits = Conv1D(1, use_bias=True, dtype=self.dtype,
+                              name="start_dense")(start_features)
+        end_logits = Conv1D(1, use_bias=True, dtype=self.dtype,
+                            name="end_dense")(end_features)
+        start_logits = mask_logits(jnp.squeeze(start_logits, axis=-1), v_mask)
+        end_logits = mask_logits(jnp.squeeze(end_logits, axis=-1), v_mask)
+        return start_logits, end_logits

@@ -1,0 +1,124 @@
+"""VSLNet model assembly (reference model/VSLNet.py:41-77, TF semantics).
+
+Forward graph:
+    word emb (frozen GloVe + UNK) ++ char-CNN  ->  conv1d -> hidden
+    video feats -> dropout -> conv1d -> hidden
+    shared FeatureEncoder on both streams
+    context-query attention -> query-pooled concat
+    highlight head; features gated by sigmoid scores
+    conditioned predictor (rnn | transformer) -> start/end logits
+
+Returns raw logits + highlight scores; losses/decoding live in losses.py so
+train/eval steps stay pure functions.
+"""
+from typing import Any, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vslnet_tpu.models.layers import (
+    CharEmbedding,
+    ConditionedPredictor,
+    Conv1D,
+    CQAttention,
+    CQConcat,
+    FeatureEncoder,
+    HighlightLayer,
+    WordEmbedding,
+)
+from vslnet_tpu.ops.masking import sequence_mask
+
+
+class VSLNet(nn.Module):
+    """Config fields mirror the reference flags (main.py:16-47)."""
+
+    hidden_size: int = 128
+    char_size: int = 100
+    char_dim: int = 50
+    word_dim: int = 300
+    video_feature_dim: int = 1024
+    num_heads: int = 8
+    max_pos_len: int = 128
+    predictor: str = "rnn"
+    word_vectors_shape: Tuple[int, int] = (100, 300)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, word_ids, char_ids, vfeats, v_len, *,
+                 drop_rate=0.0, deterministic=True):
+        T = vfeats.shape[1]
+        v_mask = sequence_mask(v_len, T)                      # [B, T]
+        q_mask = (word_ids != 0).astype(jnp.int32)            # [B, W]
+        drop = lambda t: nn.Dropout(rate=drop_rate,
+                                    deterministic=deterministic)(t)
+        # embeddings
+        word_emb = WordEmbedding(
+            vectors_shape=self.word_vectors_shape, dtype=self.dtype,
+            name="word_embeddings",
+        )(word_ids, deterministic=deterministic, drop_rate=drop_rate)
+        char_emb = CharEmbedding(
+            char_size=self.char_size, dim=self.char_dim, dtype=self.dtype,
+            name="char_embeddings",
+        )(char_ids, deterministic=deterministic, drop_rate=drop_rate)
+        query = jnp.concatenate([word_emb, char_emb], axis=-1)
+        video = drop(vfeats.astype(self.dtype))
+        # projection to hidden
+        video = Conv1D(self.hidden_size, use_bias=True, dtype=self.dtype,
+                       name="video_conv1d")(video)
+        query = Conv1D(self.hidden_size, use_bias=True, dtype=self.dtype,
+                       name="query_conv1d")(query)
+        # shared feature encoder (same instance => shared params,
+        # model/VSLNet.py:54-59 reuse=True)
+        encoder = FeatureEncoder(
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            max_position_length=self.max_pos_len, dtype=self.dtype,
+            name="feature_encoder",
+        )
+        video = encoder(video, mask=v_mask, deterministic=deterministic,
+                        drop_rate=drop_rate)
+        query = encoder(query, mask=q_mask, deterministic=deterministic,
+                        drop_rate=drop_rate)
+        # context-query attention + pooled-query concat
+        feats, vq_score = CQAttention(
+            dim=self.hidden_size, dtype=self.dtype, name="video_query_attention"
+        )(video, query, v_mask, q_mask, deterministic=deterministic,
+          drop_rate=drop_rate)
+        feats = CQConcat(dim=self.hidden_size, dtype=self.dtype,
+                         name="context_query_concat")(feats, query, q_mask)
+        # highlight gating
+        h_logits, h_scores = HighlightLayer(
+            dtype=self.dtype, name="highlighting_layer")(feats, v_mask)
+        feats = feats * h_scores[:, :, None].astype(self.dtype)
+        # span predictor
+        start_logits, end_logits = ConditionedPredictor(
+            hidden_size=self.hidden_size, num_heads=self.num_heads,
+            max_position_length=self.max_pos_len, mode=self.predictor,
+            dtype=self.dtype, name="conditioned_predictor",
+        )(feats, v_len, v_mask, deterministic=deterministic,
+          drop_rate=drop_rate)
+        return {
+            "start_logits": start_logits,
+            "end_logits": end_logits,
+            "highlight_logits": h_logits,
+            "highlight_scores": h_scores,
+            "vq_score": vq_score,
+            "v_mask": v_mask,
+            "q_mask": q_mask,
+        }
+
+
+def build_model(configs, word_vectors_shape, dtype=None):
+    if dtype is None:
+        dtype = jnp.bfloat16 if configs.precision == "bf16" else jnp.float32
+    return VSLNet(
+        hidden_size=configs.hidden_size,
+        char_size=configs.char_size,
+        char_dim=configs.char_dim,
+        word_dim=configs.word_dim,
+        video_feature_dim=configs.video_feature_dim,
+        num_heads=configs.num_heads,
+        max_pos_len=configs.max_pos_len,
+        predictor=configs.predictor,
+        word_vectors_shape=tuple(word_vectors_shape),
+        dtype=dtype,
+    )

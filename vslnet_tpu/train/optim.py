@@ -1,0 +1,88 @@
+"""Optimizer: BERT-style AdamW with linear warmup + linear decay.
+
+Matches the reference `create_optimizer` / `AdamWeightDecayOptimizer`
+(model/ops.py:65-157) exactly:
+
+- Adam moments WITHOUT bias correction (update = m / (sqrt(v) + eps));
+- decoupled weight decay 0.01 added to the update (not the gradient),
+  excluded for params whose path contains 'layer_norm' or whose leaf name
+  contains 'bias';
+- lr: linear warmup to init_lr then linear (polynomial p=1) decay to 0 over
+  num_train_steps, evaluated at the PRE-increment global step;
+- global-norm gradient clipping applied before the optimizer.
+"""
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+def lr_schedule(init_lr, num_train_steps, num_warmup_steps):
+    def schedule(step):
+        step_f = jnp.asarray(step, jnp.float32)
+        n = float(num_train_steps)
+        decayed = init_lr * (1.0 - jnp.minimum(step_f, n) / n)
+        if num_warmup_steps:
+            w = float(num_warmup_steps)
+            warmup_lr = init_lr * step_f / w
+            is_warmup = (step_f < w).astype(jnp.float32)
+            return (1.0 - is_warmup) * decayed + is_warmup * warmup_lr
+        return decayed
+
+    return schedule
+
+
+class ScaleByAdamNoBiasState(NamedTuple):
+    mu: optax.Updates
+    nu: optax.Updates
+
+
+def scale_by_adam_no_bias_correction(b1=0.9, b2=0.999, eps=1e-6):
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p)
+        return ScaleByAdamNoBiasState(
+            mu=jax.tree.map(zeros, params), nu=jax.tree.map(zeros, params)
+        )
+
+    def update_fn(updates, state, params=None):
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, updates)
+        nu = jax.tree.map(
+            lambda v, g: b2 * v + (1.0 - b2) * jnp.square(g), state.nu, updates
+        )
+        updates = jax.tree.map(lambda m, v: m / (jnp.sqrt(v) + eps), mu, nu)
+        return updates, ScaleByAdamNoBiasState(mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def no_decay_mask(params):
+    """True => apply weight decay. Excludes 'layer_norm*' scopes and any leaf
+    whose name contains 'bias' (reference exclude list model/ops.py:82)."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    def decayed(path):
+        names = [p.key if hasattr(p, "key") else str(p) for p in path]
+        if any("layer_norm" in n or "LayerNorm" in n for n in names):
+            return False
+        if "bias" in names[-1]:
+            return False
+        return True
+
+    leaves = [(path, decayed(path)) for path, _ in flat[0]]
+    return jax.tree_util.tree_unflatten(flat[1], [d for _, d in leaves])
+
+
+def make_optimizer(configs):
+    if configs.warmup_proportion > 1.0:
+        num_warmup_steps = int(configs.warmup_proportion)
+    else:
+        num_warmup_steps = int(configs.num_train_steps * configs.warmup_proportion)
+    schedule = lr_schedule(configs.init_lr, configs.num_train_steps, num_warmup_steps)
+    tx = optax.chain(
+        optax.clip_by_global_norm(configs.clip_norm),
+        scale_by_adam_no_bias_correction(b1=0.9, b2=0.999, eps=1e-6),
+        optax.add_decayed_weights(0.01, mask=no_decay_mask),
+        optax.scale_by_learning_rate(schedule),  # scales by -lr
+    )
+    return tx, schedule

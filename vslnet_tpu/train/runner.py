@@ -1,0 +1,268 @@
+"""Train / eval runner: jitted steps over a device mesh, host-side metrics.
+
+Replaces the reference's Session loop (main.py:75-136) with pure functional
+steps: `make_train_step` returns a jitted (params, opt_state, batch, rng) ->
+(params, opt_state, metrics) function; data parallelism comes from sharding
+the batch over the ('data',) mesh and letting GSPMD insert the gradient
+all-reduce. Evaluation decodes spans on-device (softmax -> banded outer
+product -> argmax) and computes IoU metrics on host, identical math to
+util/runner_utils.py:60-81.
+"""
+import functools
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vslnet_tpu.data.loader import TrainLoader, TestLoader
+from vslnet_tpu.models.losses import (
+    decode_span,
+    highlight_loss,
+    l2_regularization,
+    localization_loss,
+    reference_l2_predicate,
+)
+from vslnet_tpu.models.vslnet import build_model
+from vslnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from vslnet_tpu.train.checkpoints import CheckpointManager
+from vslnet_tpu.train.metrics import ious_from_predictions, summarize_ious
+from vslnet_tpu.train.optim import make_optimizer
+from vslnet_tpu.utils.logging import MetricsWriter
+
+
+def set_random_state(seed):
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def init_model(model, configs, word_vectors, rng, max_w=8, max_c=8):
+    B, T = 2, configs.max_pos_len
+    variables = model.init(
+        {"params": rng, "dropout": rng},
+        jnp.zeros((B, max_w), jnp.int32),
+        jnp.zeros((B, max_w, max_c), jnp.int32),
+        jnp.zeros((B, T, configs.video_feature_dim), jnp.float32),
+        jnp.ones((B,), jnp.int32),
+        drop_rate=0.0,
+        deterministic=True,
+    )
+    params = variables["params"]
+    frozen = {"word_embeddings": {"word_vectors": jnp.asarray(word_vectors)}}
+    return params, frozen
+
+
+def count_params(params):
+    return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))
+
+
+def make_train_step(model, tx, configs):
+    drop_rate = float(configs.drop_rate)
+    lam = float(configs.highlight_lambda)
+    l2_scale = float(configs.l2_decay)
+
+    def loss_fn(params, frozen, batch, rng):
+        out = model.apply(
+            {"params": params, "frozen": frozen},
+            batch["word_ids"], batch["char_ids"], batch["vfeats"], batch["v_len"],
+            drop_rate=drop_rate, deterministic=False, rngs={"dropout": rng},
+        )
+        loc = localization_loss(
+            out["start_logits"], out["end_logits"],
+            batch["s_labels"], batch["e_labels"], batch["batch_mask"],
+        )
+        hl = highlight_loss(
+            out["highlight_logits"], batch["h_labels"], out["v_mask"],
+            batch["batch_mask"],
+        )
+        loss = loc + l2_regularization(params, l2_scale, reference_l2_predicate)
+        total = loss + lam * hl
+        return total, (loss, hl)
+
+    @jax.jit
+    def train_step(params, frozen, opt_state, batch, rng, step):
+        step_rng = jax.random.fold_in(rng, step)
+        grads, (loss, hl) = jax.grad(loss_fn, has_aux=True)(
+            params, frozen, batch, step_rng
+        )
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, {"loss": loss, "highlight_loss": hl}
+
+    return train_step
+
+
+def make_eval_step(model):
+    @jax.jit
+    def eval_step(params, frozen, batch):
+        out = model.apply(
+            {"params": params, "frozen": frozen},
+            batch["word_ids"], batch["char_ids"], batch["vfeats"], batch["v_len"],
+            drop_rate=0.0, deterministic=True,
+        )
+        _, _, start_index, end_index = decode_span(
+            out["start_logits"], out["end_logits"]
+        )
+        return start_index, end_index
+
+    return eval_step
+
+
+def eval_test(eval_step, params, frozen, data_loader, mesh=None,
+              epoch=None, global_step=None, mode="test"):
+    ious = []
+    for records, batch in data_loader.test_iter(mode):
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        start_indexes, end_indexes = eval_step(params, frozen, batch)
+        start_indexes = np.asarray(start_indexes)[: len(records)]
+        end_indexes = np.asarray(end_indexes)[: len(records)]
+        ious.extend(ious_from_predictions(records, start_indexes, end_indexes))
+    return summarize_ious(ious, mode=mode, epoch=epoch, global_step=global_step)
+
+
+class Runner:
+    """Owns the compiled steps, mesh, loaders, and checkpoint manager."""
+
+    def __init__(self, configs, dataset, visual_features, mesh=None):
+        self.configs = configs
+        self.dataset = dataset
+        if configs.char_size is None:
+            configs.char_size = dataset["n_chars"]
+        self.mesh = mesh if mesh is not None else make_mesh(configs.dp_size)
+        self.rng = set_random_state(configs.seed)
+        # loaders share static caps so train/eval batches have equal shapes
+        self.train_loader = TrainLoader(
+            dataset["train_set"], visual_features, configs
+        )
+        self.test_loader = TestLoader(
+            dataset, visual_features, configs,
+            max_w=self.train_loader.max_w, max_c=self.train_loader.max_c,
+        )
+        if configs.num_train_steps is None:
+            configs.num_train_steps = (
+                self.train_loader.num_batches() * configs.epochs
+            )
+        self.model = build_model(configs, dataset["word_vector"].shape)
+        params, frozen = init_model(
+            self.model, configs, dataset["word_vector"], self.rng,
+            max_w=self.train_loader.max_w, max_c=self.train_loader.max_c,
+        )
+        self.tx, self.schedule = make_optimizer(configs)
+        opt_state = self.tx.init(params)
+        self.params = replicate(params, self.mesh)
+        self.frozen = replicate(frozen, self.mesh)
+        self.opt_state = replicate(opt_state, self.mesh)
+        self.train_step = make_train_step(self.model, self.tx, configs)
+        self.eval_step = make_eval_step(self.model)
+        self.home_dir = configs.home_dir()
+        self.model_dir = os.path.join(self.home_dir, "model")
+        self.log_dir = os.path.join(self.home_dir, "event")
+
+    def n_params(self):
+        return count_params(self.params)
+
+    def evaluate(self, mode="test", epoch=None, global_step=None):
+        return eval_test(
+            self.eval_step, self.params, self.frozen, self.test_loader,
+            mesh=self.mesh, epoch=epoch, global_step=global_step, mode=mode,
+        )
+
+    def train(self, verbose=True):
+        configs = self.configs
+        os.makedirs(self.model_dir, exist_ok=True)
+        os.makedirs(self.log_dir, exist_ok=True)
+        from vslnet_tpu.config import save_config
+
+        save_config(configs, self.model_dir)
+        num_train_batches = self.train_loader.num_batches()
+        eval_period = configs.eval_period or max(1, num_train_batches // 2)
+        writer = MetricsWriter(self.log_dir, configs.log_to_tensorboard)
+        ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
+        best_r1i7 = -1.0
+        global_step = 0
+        score_path = os.path.join(self.model_dir, "eval_results.txt")
+        t_start = time.time()
+        with open(score_path, mode="w", encoding="utf-8") as score_writer:
+            for epoch in range(configs.epochs):
+                for _, batch in self.train_loader.batch_iter():
+                    batch = shard_batch(batch, self.mesh)
+                    self.params, self.opt_state, m = self.train_step(
+                        self.params, self.frozen, self.opt_state, batch,
+                        self.rng, global_step,
+                    )
+                    global_step += 1
+                    if global_step % configs.period == 0:
+                        loss = float(m["loss"])
+                        h_loss = float(m["highlight_loss"])
+                        writer.write(
+                            [("train/loss", loss),
+                             ("train/highlight_loss", h_loss)],
+                            global_step,
+                        )
+                        if verbose:
+                            print(
+                                "Epoch %3d | Step %6d | loss %.4f | h_loss %.4f"
+                                % (epoch + 1, global_step, loss, h_loss),
+                                flush=True,
+                            )
+                    if (global_step % eval_period == 0
+                            or global_step % num_train_batches == 0):
+                        r1i3, r1i5, r1i7, mi, value_pairs, score_str = (
+                            self.evaluate(mode="test", epoch=epoch + 1,
+                                          global_step=global_step)
+                        )
+                        if verbose:
+                            print(
+                                "\nEpoch: %2d | Step: %5d | r1i3: %.2f | "
+                                "r1i5: %.2f | r1i7: %.2f | mIoU: %.2f"
+                                % (epoch + 1, global_step, r1i3, r1i5, r1i7, mi),
+                                flush=True,
+                            )
+                        writer.write(value_pairs, global_step)
+                        score_writer.write(score_str)
+                        score_writer.flush()
+                        if r1i7 > best_r1i7:
+                            best_r1i7 = r1i7
+                            ckpt.save(
+                                global_step, self.params, self.opt_state,
+                                extra={"r1i7": r1i7, "step": global_step},
+                            )
+        writer.close()
+        ckpt.close()
+        elapsed = time.time() - t_start
+        return {
+            "best_r1i7": best_r1i7,
+            "global_step": global_step,
+            "train_time_s": elapsed,
+        }
+
+    def restore(self):
+        ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
+        from vslnet_tpu.train.checkpoints import abstract_like
+
+        step, restored = ckpt.restore(
+            abstract_tree={
+                "params": abstract_like(self.params),
+                "opt_state": abstract_like(self.opt_state),
+                "extra": {},
+            }
+        )
+        self.params = replicate(restored["params"], self.mesh)
+        self.opt_state = replicate(restored["opt_state"], self.mesh)
+        ckpt.close()
+        return step
+
+    def test(self, verbose=True):
+        if not os.path.exists(self.model_dir):
+            raise ValueError("No pre-trained weights exist")
+        self.restore()
+        r1i3, r1i5, r1i7, mi, *_ = self.evaluate(mode="test")
+        if verbose:
+            print("\nRank@1, IoU=0.3:\t{:.2f}".format(r1i3), flush=True)
+            print("Rank@1, IoU=0.5:\t{:.2f}".format(r1i5), flush=True)
+            print("Rank@1, IoU=0.7:\t{:.2f}".format(r1i7), flush=True)
+            print("{}:\t{:.2f}".format("mean IoU".ljust(15), mi), flush=True)
+        return r1i3, r1i5, r1i7, mi
