@@ -337,6 +337,7 @@ class CQAttention(nn.Module):
 
     dim: int
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, video, query, v_mask, q_mask, *, deterministic, drop_rate):
@@ -344,6 +345,16 @@ class CQAttention(nn.Module):
         w4v = self.param("linear_kernel4arg0", glorot(), (d, 1), jnp.float32)
         w4q = self.param("linear_kernel4arg1", glorot(), (d, 1), jnp.float32)
         w4mul = self.param("linear_kernel4mul", glorot(), (1, 1, d), jnp.float32)
+        if self.use_pallas and deterministic:
+            # fused inference kernel: score + softmaxes + matmuls in VMEM
+            from vslnet_tpu.ops.pallas_kernels import fused_cqa_concat
+
+            out = fused_cqa_concat(
+                video, query, v_mask, q_mask, w4v, w4q, w4mul.reshape(-1)
+            ).astype(self.dtype)
+            out = Conv1D(self.dim, use_bias=False, dtype=self.dtype,
+                         name="dense")(out)
+            return out, None
         drop = lambda t: nn.Dropout(rate=drop_rate, deterministic=deterministic)(t)
         v_d, q_d = drop(video), drop(query)
         sub0 = jnp.dot(v_d, w4v.astype(self.dtype),
@@ -399,17 +410,33 @@ class CQConcat(nn.Module):
 
 
 class HighlightLayer(nn.Module):
-    """Per-frame logit head (:227-242); loss lives in losses.py."""
+    """Per-frame logit head (:227-242); loss lives in losses.py.
+
+    With use_pallas (inference), the logit head + masked sigmoid + the
+    multiplicative feature gate (model/VSLNet.py:68) run as one fused kernel.
+    """
 
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x, v_mask):
-        logits = Conv1D(1, use_bias=True, dtype=self.dtype, name="dense")(x)
+    def __call__(self, x, v_mask, *, deterministic=True):
+        dense = Conv1D(1, use_bias=True, dtype=self.dtype, name="dense")
+        if self.use_pallas and deterministic:
+            from vslnet_tpu.ops.pallas_kernels import fused_highlight_gate
+
+            # call registers the dense params (checkpoint-compatible names);
+            # the unused XLA result is dead-code-eliminated
+            _ = dense(x)
+            w = self.get_variable("params", "dense")["kernel"]
+            b = self.get_variable("params", "dense")["bias"]
+            gated, scores = fused_highlight_gate(x, w, b[0], v_mask)
+            return None, scores, gated.astype(self.dtype)
+        logits = dense(x)
         logits = jnp.squeeze(logits, axis=-1)
         logits = mask_logits(logits, v_mask)  # fp32 out
         scores = jax.nn.sigmoid(logits)
-        return logits, scores
+        return logits, scores, None
 
 
 class LSTMEncoder(nn.Module):

@@ -42,6 +42,7 @@ class VSLNet(nn.Module):
     predictor: str = "rnn"
     word_vectors_shape: Tuple[int, int] = (100, 300)
     dtype: Any = jnp.float32
+    use_pallas: bool = False  # fused inference kernels (CQA, highlight gate)
 
     @nn.compact
     def __call__(self, word_ids, char_ids, vfeats, v_len, *,
@@ -80,15 +81,21 @@ class VSLNet(nn.Module):
                         drop_rate=drop_rate)
         # context-query attention + pooled-query concat
         feats, vq_score = CQAttention(
-            dim=self.hidden_size, dtype=self.dtype, name="video_query_attention"
+            dim=self.hidden_size, dtype=self.dtype, use_pallas=self.use_pallas,
+            name="video_query_attention",
         )(video, query, v_mask, q_mask, deterministic=deterministic,
           drop_rate=drop_rate)
         feats = CQConcat(dim=self.hidden_size, dtype=self.dtype,
                          name="context_query_concat")(feats, query, q_mask)
-        # highlight gating
-        h_logits, h_scores = HighlightLayer(
-            dtype=self.dtype, name="highlighting_layer")(feats, v_mask)
-        feats = feats * h_scores[:, :, None].astype(self.dtype)
+        # highlight gating (fused with the score head under use_pallas)
+        h_logits, h_scores, gated = HighlightLayer(
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            name="highlighting_layer",
+        )(feats, v_mask, deterministic=deterministic)
+        if gated is not None:
+            feats = gated
+        else:
+            feats = feats * h_scores[:, :, None].astype(self.dtype)
         # span predictor
         start_logits, end_logits = ConditionedPredictor(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
@@ -121,4 +128,5 @@ def build_model(configs, word_vectors_shape, dtype=None):
         predictor=configs.predictor,
         word_vectors_shape=tuple(word_vectors_shape),
         dtype=dtype,
+        use_pallas=bool(getattr(configs, "use_pallas", False)),
     )

@@ -81,7 +81,9 @@ def make_train_step(model, tx, configs):
         total = loss + lam * hl
         return total, (loss, hl)
 
-    @jax.jit
+    # donate params + opt_state buffers: they are consumed and rebuilt every
+    # step, so XLA can update in place instead of allocating fresh HBM
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
     def train_step(params, frozen, opt_state, batch, rng, step):
         step_rng = jax.random.fold_in(rng, step)
         grads, (loss, hl) = jax.grad(loss_fn, has_aux=True)(
@@ -94,7 +96,7 @@ def make_train_step(model, tx, configs):
     return train_step
 
 
-def make_eval_step(model):
+def make_eval_step(model, use_pallas=False):
     @jax.jit
     def eval_step(params, frozen, batch):
         out = model.apply(
@@ -102,9 +104,16 @@ def make_eval_step(model):
             batch["word_ids"], batch["char_ids"], batch["vfeats"], batch["v_len"],
             drop_rate=0.0, deterministic=True,
         )
-        _, _, start_index, end_index = decode_span(
-            out["start_logits"], out["end_logits"]
-        )
+        if use_pallas:
+            from vslnet_tpu.ops.pallas_kernels import fused_span_decode
+
+            start_index, end_index = fused_span_decode(
+                out["start_logits"], out["end_logits"]
+            )
+        else:
+            _, _, start_index, end_index = decode_span(
+                out["start_logits"], out["end_logits"]
+            )
         return start_index, end_index
 
     return eval_step
@@ -156,7 +165,9 @@ class Runner:
         self.frozen = replicate(frozen, self.mesh)
         self.opt_state = replicate(opt_state, self.mesh)
         self.train_step = make_train_step(self.model, self.tx, configs)
-        self.eval_step = make_eval_step(self.model)
+        self.eval_step = make_eval_step(
+            self.model, use_pallas=bool(configs.use_pallas)
+        )
         self.home_dir = configs.home_dir()
         self.model_dir = os.path.join(self.home_dir, "model")
         self.log_dir = os.path.join(self.home_dir, "event")
