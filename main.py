@@ -46,7 +46,7 @@ def main(argv=None):
         flush=True,
     )
     if configs.mode.lower() == "train":
-        runner.train()
+        runner.train(resume=configs.resume)
     elif configs.mode.lower() == "test":
         runner.test()
     else:

@@ -137,3 +137,75 @@ def test_charades_processor_on_real_annotations():
     assert all(w == w.lower() for w in rec["words"])
     # sample_ids are consecutive
     assert [r["sample_id"] for r in train[:5]] == [0, 1, 2, 3, 4]
+
+
+def test_activitynet_processor_on_real_annotations():
+    import os
+    data_dir = "/root/reference/data/dataset/activitynet"
+    if not os.path.exists(data_dir):
+        pytest.skip("reference annotations unavailable")
+    from vslnet_tpu.data.processors import ActivityNetProcessor
+
+    train, val, test = ActivityNetProcessor().convert(data_dir)
+    # split mapping: val_2 -> val, val_1 -> test (util/data_gen.py:79-81)
+    assert val is not None and len(train) > len(val) > 0 and len(test) > 0
+    rec = train[0]
+    assert rec["s_time"] >= 0.0
+    assert rec["e_time"] <= rec["duration"] + 1e-6
+    # records per (video, sentence) pair: more records than videos
+    from vslnet_tpu.data.io import load_json
+    train_json = load_json(os.path.join(data_dir, "train.json"))
+    assert len(train) == sum(len(v["sentences"]) for v in train_json.values())
+
+
+def test_tacos_processor_on_real_annotations():
+    import os
+    data_dir = "/root/reference/data/dataset/tacos"
+    if not os.path.exists(data_dir):
+        pytest.skip("reference annotations unavailable")
+    from vslnet_tpu.data.processors import TACoSProcessor
+    from vslnet_tpu.data.io import load_json
+
+    train, val, test = TACoSProcessor().convert(data_dir)
+    assert len(train) > 0 and len(val) > 0 and len(test) > 0
+    # frame->seconds conversion via fps; vids have .avi stripped
+    raw = load_json(os.path.join(data_dir, "train.json"))
+    some_key = next(iter(raw))
+    assert not train[0]["vid"].endswith(".avi")
+    item = raw[some_key]
+    fps = float(item["fps"])
+    expected_duration = float(item["num_frames"]) / fps
+    vid = some_key[:-4] if some_key.endswith(".avi") else some_key
+    recs = [r for r in train if r["vid"] == vid]
+    assert recs and abs(recs[0]["duration"] - expected_duration) < 1e-6
+    assert all(r["e_time"] <= r["duration"] + 1e-6 for r in recs)
+
+
+def test_vocab_emb_gen_ordering_and_ids(tmp_path):
+    """Vocab = corpus words present in GloVe, ordered by frequency;
+    PAD=0 / UNK=1; embedding matrix covers only real words
+    (util/data_gen.py:156-177)."""
+    from vslnet_tpu.data.vocab import vocab_emb_gen, PAD, UNK
+
+    glove_path = tmp_path / "glove.txt"
+    words = {"cat": 1.0, "dog": 2.0, "fish": 3.0}
+    with open(glove_path, "w") as f:
+        for w, v in words.items():
+            f.write(w + " " + " ".join([str(v)] * 300) + "\n")
+        f.write("junkline only2tokens\n")  # skipped (len==2)
+    datasets = [[
+        {"words": ["dog", "dog", "dog", "cat", "cat", "axolotl"]},
+        {"words": ["dog", "fish"]},
+    ]]
+    word_dict, char_dict, vectors = vocab_emb_gen(datasets, str(glove_path))
+    # frequency order: dog(4) > cat(2) > fish(1); axolotl not in glove
+    assert word_dict[PAD] == 0 and word_dict[UNK] == 1
+    assert word_dict["dog"] == 2 and word_dict["cat"] == 3
+    assert word_dict["fish"] == 4
+    assert "axolotl" not in word_dict
+    # vectors row i corresponds to word id i+2
+    np.testing.assert_allclose(vectors[0], np.full(300, 2.0))  # dog
+    np.testing.assert_allclose(vectors[1], np.full(300, 1.0))  # cat
+    np.testing.assert_allclose(vectors[2], np.full(300, 3.0))  # fish
+    # char dict: chars with count >= 5 only ('o' appears 5x in dog x4 + axolotl...)
+    assert char_dict[PAD] == 0 and char_dict[UNK] == 1

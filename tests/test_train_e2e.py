@@ -168,3 +168,38 @@ def test_eval_indices_within_valid_range(tmp_path):
         s, e = np.asarray(s), np.asarray(e)
         for row, rec in enumerate(records):
             assert 0 <= s[row] <= e[row] < rec["v_len"]
+
+
+def test_resume_continues_from_checkpoint(tmp_path):
+    """Kill-and-resume: first run trains 1 epoch with eval_period=1 so a
+    checkpoint lands; resumed run continues from that step and appends to
+    eval_results.txt rather than truncating."""
+    cfg = tiny_configs(tmp_path, epochs=1, eval_period=1)
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    res1 = runner.train(verbose=False)
+    assert res1["global_step"] == runner.train_loader.num_batches()
+    score_path = os.path.join(runner.model_dir, "eval_results.txt")
+    n_lines_before = len(open(score_path).readlines())
+    # second run: 2 epochs total, resume from epoch-1 checkpoint
+    cfg2 = tiny_configs(tmp_path, epochs=2, eval_period=1)
+    runner2 = Runner(cfg2, dataset, feats)
+    res2 = runner2.train(verbose=False, resume=True)
+    assert res2["global_step"] == 2 * runner2.train_loader.num_batches()
+    n_lines_after = len(open(score_path).readlines())
+    assert n_lines_after > n_lines_before  # appended, not truncated
+
+
+def test_profile_trace_written(tmp_path):
+    cfg = tiny_configs(tmp_path, epochs=1)
+    cfg.profile_steps = 2
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    runner.train(verbose=False)
+    prof_dir = os.path.join(runner.log_dir, "profile")
+    assert os.path.isdir(prof_dir)
+    # xplane pb file(s) exist under plugins/profile/...
+    found = []
+    for root, _, files in os.walk(prof_dir):
+        found.extend(f for f in files if f.endswith(".xplane.pb"))
+    assert found

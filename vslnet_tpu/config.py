@@ -54,6 +54,8 @@ class Config:
     l2_decay: float = 3e-7             # kernel l2 regularization scale
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
+    resume: bool = False               # resume training from latest checkpoint
+    profile_steps: int = 0             # capture a jax.profiler trace of N steps
 
     def home_dir(self):
         """Checkpoint dir naming, identical to reference main.py:67-70."""
@@ -73,7 +75,7 @@ def build_parser():
     parser = argparse.ArgumentParser(description="vslnet_tpu")
     for field in dataclasses.fields(Config):
         default = field.default
-        if field.name in ("use_pallas", "log_to_tensorboard"):
+        if field.name in ("use_pallas", "log_to_tensorboard", "resume"):
             parser.add_argument(
                 "--" + field.name,
                 type=lambda s: s.lower() in ("1", "true", "yes"),

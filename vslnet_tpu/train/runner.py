@@ -181,7 +181,11 @@ class Runner:
             mesh=self.mesh, epoch=epoch, global_step=global_step, mode=mode,
         )
 
-    def train(self, verbose=True):
+    def train(self, verbose=True, resume=False):
+        """Full training loop. With resume=True, restores params + optimizer
+        state + step from the latest checkpoint and continues — true
+        mid-run recovery, which the reference cannot do (its --mode test only
+        restores weights; SURVEY.md §5)."""
         configs = self.configs
         os.makedirs(self.model_dir, exist_ok=True)
         os.makedirs(self.log_dir, exist_ok=True)
@@ -194,17 +198,59 @@ class Runner:
         ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
         best_r1i7 = -1.0
         global_step = 0
+        if resume:
+            try:
+                restored_step, extra = self._restore_from(ckpt)
+                global_step = restored_step
+                best_r1i7 = float(extra.get("r1i7", -1.0))
+                if verbose:
+                    print("resumed from step %d (best r1i7 %.2f)"
+                          % (global_step, best_r1i7), flush=True)
+            except ValueError:
+                if verbose:
+                    print("no checkpoint found; training from scratch",
+                          flush=True)
+        # train exactly num_train_steps in total; a resumed run (possibly
+        # from a mid-epoch best checkpoint) runs the remaining steps
+        target_steps = configs.num_train_steps
         score_path = os.path.join(self.model_dir, "eval_results.txt")
         t_start = time.time()
-        with open(score_path, mode="w", encoding="utf-8") as score_writer:
-            for epoch in range(configs.epochs):
+        score_mode = "a" if (resume and global_step > 0) else "w"
+        # optional jax.profiler capture of steps [warmup, warmup + N)
+        # (SURVEY.md §5: the reference has no tracing/profiling at all);
+        # warmup shrinks on short runs so the window always fits
+        if configs.profile_steps:
+            warmup = max(0, min(3, target_steps - configs.profile_steps
+                                - global_step))
+            profile_start = global_step + warmup
+        else:
+            profile_start = -1
+        profile_end = profile_start + configs.profile_steps
+        profiling_active = False
+        with open(score_path, mode=score_mode, encoding="utf-8") as score_writer:
+            while global_step < target_steps:
+                epoch = global_step // num_train_batches
                 for _, batch in self.train_loader.batch_iter():
+                    if global_step >= target_steps:
+                        break
+                    if global_step == profile_start:
+                        jax.profiler.start_trace(
+                            os.path.join(self.log_dir, "profile"))
+                        profiling_active = True
                     batch = shard_batch(batch, self.mesh)
                     self.params, self.opt_state, m = self.train_step(
                         self.params, self.frozen, self.opt_state, batch,
                         self.rng, global_step,
                     )
                     global_step += 1
+                    if global_step == profile_end:
+                        jax.block_until_ready(self.params)
+                        jax.profiler.stop_trace()
+                        profiling_active = False
+                        if verbose:
+                            print("profiler trace written to %s"
+                                  % os.path.join(self.log_dir, "profile"),
+                                  flush=True)
                     if global_step % configs.period == 0:
                         loss = float(m["loss"])
                         h_loss = float(m["highlight_loss"])
@@ -241,6 +287,10 @@ class Runner:
                                 global_step, self.params, self.opt_state,
                                 extra={"r1i7": r1i7, "step": global_step},
                             )
+        if profiling_active:
+            # training ended inside the capture window
+            jax.block_until_ready(self.params)
+            jax.profiler.stop_trace()
         writer.close()
         ckpt.close()
         elapsed = time.time() - t_start
@@ -250,19 +300,22 @@ class Runner:
             "train_time_s": elapsed,
         }
 
-    def restore(self):
-        ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
+    def _restore_from(self, ckpt):
         from vslnet_tpu.train.checkpoints import abstract_like
 
         step, restored = ckpt.restore(
             abstract_tree={
                 "params": abstract_like(self.params),
                 "opt_state": abstract_like(self.opt_state),
-                "extra": {},
             }
         )
         self.params = replicate(restored["params"], self.mesh)
         self.opt_state = replicate(restored["opt_state"], self.mesh)
+        return step, restored.get("extra", {})
+
+    def restore(self):
+        ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
+        step, _ = self._restore_from(ckpt)
         ckpt.close()
         return step
 
