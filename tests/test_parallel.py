@@ -58,3 +58,100 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sequence_parallel_mesh_shapes():
+    mesh = make_mesh(dp_size=2, sp_size=4)
+    assert mesh.axis_names == ("data", "seq")
+    assert mesh.devices.shape == (2, 4)
+
+
+def test_sequence_parallel_shard_specs():
+    mesh = make_mesh(dp_size=2, sp_size=4)
+    batch = {
+        "vfeats": np.zeros((8, 16, 4), np.float32),
+        "v_len": np.full((8,), 16, np.int32),
+        "word_ids": np.ones((8, 5), np.int32),
+        "char_ids": np.ones((8, 5, 3), np.int32),
+        "s_labels": np.zeros((8, 16), np.int32),
+        "e_labels": np.zeros((8, 16), np.int32),
+        "h_labels": np.zeros((8, 16), np.int32),
+        "batch_mask": np.ones((8,), np.float32),
+    }
+    sharded = shard_batch(batch, mesh)
+    assert sharded["vfeats"].sharding.spec == P("data", "seq")
+    assert sharded["s_labels"].sharding.spec == P("data", "seq")
+    assert sharded["word_ids"].sharding.spec == P("data")
+    assert sharded["v_len"].sharding.spec == P("data")
+
+
+def test_sequence_parallel_train_matches_dp(tmp_path):
+    """dp=2 x sp=4 vs dp=1: same seed, one train step -> same loss and
+    params (GSPMD partitions the T-axis convs and attention exactly)."""
+    from vslnet_tpu.config import Config
+    from vslnet_tpu.data.synthetic import synthetic_dataset
+    from vslnet_tpu.train.runner import Runner
+
+    def cfg(workdir, **kw):
+        c = Config(
+            batch_size=8, max_pos_len=16, video_feature_dim=12,
+            hidden_size=16, char_dim=4, word_dim=8, num_heads=4, epochs=1,
+            predictor="transformer", model_dir=str(workdir / "ckpt"),
+            save_dir=str(workdir / "d"), log_to_tensorboard=False,
+        )
+        for k, v in kw.items():
+            setattr(c, k, v)
+        return c
+
+    dataset, feats = synthetic_dataset(
+        n_train=16, n_test=8, n_videos=4, n_words=40, n_chars=12,
+        max_pos_len=16, video_feature_dim=12, word_dim=8, min_video_len=4,
+        seed=0,
+    )
+    r_dp = Runner(cfg(tmp_path / "a"), dataset, feats, mesh=make_mesh(1))
+    r_sp = Runner(cfg(tmp_path / "b", sp_size=4, dp_size=2), dataset, feats)
+    assert r_sp.mesh.axis_names == ("data", "seq")
+    _, batch = next(iter(r_dp.train_loader.batch_iter()))
+    b1 = shard_batch(batch, r_dp.mesh)
+    b2 = shard_batch(batch, r_sp.mesh)
+    p1, _, m1 = r_dp.train_step(r_dp.params, r_dp.frozen, r_dp.opt_state,
+                                b1, r_dp.rng, 0)
+    p2, _, m2 = r_sp.train_step(r_sp.params, r_sp.frozen, r_sp.opt_state,
+                                b2, r_sp.rng, 0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        p1, p2,
+    )
+
+
+def test_sequence_parallel_eval_decodes_identically(tmp_path):
+    from vslnet_tpu.config import Config
+    from vslnet_tpu.data.synthetic import synthetic_dataset
+    from vslnet_tpu.train.runner import Runner
+
+    def cfg(workdir, **kw):
+        c = Config(
+            batch_size=8, max_pos_len=16, video_feature_dim=12,
+            hidden_size=16, char_dim=4, word_dim=8, num_heads=4, epochs=1,
+            predictor="rnn", model_dir=str(workdir / "ckpt"),
+            save_dir=str(workdir / "d"), log_to_tensorboard=False,
+        )
+        for k, v in kw.items():
+            setattr(c, k, v)
+        return c
+
+    dataset, feats = synthetic_dataset(
+        n_train=8, n_test=8, n_videos=4, n_words=40, n_chars=12,
+        max_pos_len=16, video_feature_dim=12, word_dim=8, min_video_len=4,
+        seed=1,
+    )
+    r1 = Runner(cfg(tmp_path / "a"), dataset, feats, mesh=make_mesh(1))
+    r2 = Runner(cfg(tmp_path / "b", sp_size=8, dp_size=1), dataset, feats)
+    _, batch = next(iter(r1.test_loader.test_iter("test")))
+    s1, e1 = r1.eval_step(r1.params, r1.frozen, shard_batch(batch, r1.mesh))
+    s2, e2 = r2.eval_step(r2.params, r2.frozen, shard_batch(batch, r2.mesh))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

@@ -50,12 +50,23 @@ class Config:
     precision: str = "fp32"            # [fp32 | bf16] compute precision
     use_pallas: bool = False           # fused Pallas kernels for hot blocks
     dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
+    sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
     word_size: Optional[int] = None    # vocab cap (torch-ref main_t7.py flag)
     l2_decay: float = 3e-7             # kernel l2 regularization scale
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
+    # BERT text-encoder variant
+    text_encoder: str = "glove"        # [glove | bert]
+    bert_path: Optional[str] = None    # local HF dir (config.json + weights
+    #                                    + vocab.txt); None: random init
+    bert_vocab_size: int = 30522
+    bert_hidden: int = 768
+    bert_layers: int = 12
+    bert_heads: int = 12
+    bert_intermediate: int = 3072
+    bert_max_pos: int = 512
 
     def home_dir(self):
         """Checkpoint dir naming, identical to reference main.py:67-70."""

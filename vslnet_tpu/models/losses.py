@@ -88,6 +88,8 @@ def reference_l2_predicate(names):
     leaf = names[-1]
     if "rnn" in path:  # LSTM kernels/biases are unregularized (:245-249)
         return False
+    if names[0] == "bert":  # BERT variant params carry no l2 (net-new)
+        return False
     if leaf in ("unk", "char_table", "position_embeddings", "word_vectors"):
         return False
     if leaf in ("kernel", "bias", "scale", "weight",

@@ -43,6 +43,16 @@ class VSLNet(nn.Module):
     word_vectors_shape: Tuple[int, int] = (100, 300)
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused inference kernels (CQA, highlight gate)
+    # BERT text-encoder variant (BASELINE.json config 5): replaces
+    # GloVe+charCNN at the model/VSLNet.py:43-48 boundary; word_ids are then
+    # WordPiece token ids and char_ids are ignored.
+    text_encoder: str = "glove"  # [glove | bert]
+    bert_vocab_size: int = 30522
+    bert_hidden: int = 768
+    bert_layers: int = 12
+    bert_heads: int = 12
+    bert_intermediate: int = 3072
+    bert_max_pos: int = 512
 
     @nn.compact
     def __call__(self, word_ids, char_ids, vfeats, v_len, *,
@@ -53,15 +63,29 @@ class VSLNet(nn.Module):
         drop = lambda t: nn.Dropout(rate=drop_rate,
                                     deterministic=deterministic)(t)
         # embeddings
-        word_emb = WordEmbedding(
-            vectors_shape=self.word_vectors_shape, dtype=self.dtype,
-            name="word_embeddings",
-        )(word_ids, deterministic=deterministic, drop_rate=drop_rate)
-        char_emb = CharEmbedding(
-            char_size=self.char_size, dim=self.char_dim, dtype=self.dtype,
-            name="char_embeddings",
-        )(char_ids, deterministic=deterministic, drop_rate=drop_rate)
-        query = jnp.concatenate([word_emb, char_emb], axis=-1)
+        if self.text_encoder == "bert":
+            from vslnet_tpu.models.bert import BertEncoder
+
+            query = BertEncoder(
+                vocab_size=self.bert_vocab_size,
+                hidden_size=self.bert_hidden,
+                num_layers=self.bert_layers,
+                num_heads=self.bert_heads,
+                intermediate_size=self.bert_intermediate,
+                max_position_embeddings=self.bert_max_pos,
+                dtype=self.dtype, name="bert",
+            )(word_ids, q_mask.astype(jnp.float32),
+              deterministic=deterministic, drop_rate=drop_rate)
+        else:
+            word_emb = WordEmbedding(
+                vectors_shape=self.word_vectors_shape, dtype=self.dtype,
+                name="word_embeddings",
+            )(word_ids, deterministic=deterministic, drop_rate=drop_rate)
+            char_emb = CharEmbedding(
+                char_size=self.char_size, dim=self.char_dim, dtype=self.dtype,
+                name="char_embeddings",
+            )(char_ids, deterministic=deterministic, drop_rate=drop_rate)
+            query = jnp.concatenate([word_emb, char_emb], axis=-1)
         video = drop(vfeats.astype(self.dtype))
         # projection to hidden
         video = Conv1D(self.hidden_size, use_bias=True, dtype=self.dtype,
@@ -117,6 +141,17 @@ class VSLNet(nn.Module):
 def build_model(configs, word_vectors_shape, dtype=None):
     if dtype is None:
         dtype = jnp.bfloat16 if configs.precision == "bf16" else jnp.float32
+    bert_kw = {}
+    if getattr(configs, "text_encoder", "glove") == "bert":
+        bert_kw = dict(
+            text_encoder="bert",
+            bert_vocab_size=configs.bert_vocab_size,
+            bert_hidden=configs.bert_hidden,
+            bert_layers=configs.bert_layers,
+            bert_heads=configs.bert_heads,
+            bert_intermediate=configs.bert_intermediate,
+            bert_max_pos=configs.bert_max_pos,
+        )
     return VSLNet(
         hidden_size=configs.hidden_size,
         char_size=configs.char_size,
@@ -129,4 +164,5 @@ def build_model(configs, word_vectors_shape, dtype=None):
         word_vectors_shape=tuple(word_vectors_shape),
         dtype=dtype,
         use_pallas=bool(getattr(configs, "use_pallas", False)),
+        **bert_kw,
     )

@@ -1,28 +1,47 @@
 """Device mesh + sharding utilities.
 
 The reference is single-device (SURVEY.md §2.7 — no DP/TP/PP anywhere);
-here data parallelism is first-class: a 1-D `('data',)` mesh, batches
-sharded along axis 0, params replicated. Under jit, XLA GSPMD inserts the
-gradient all-reduce over ICI automatically — there is no hand-written
-collective in the train step.
+here parallelism is first-class:
 
-The mesh admits a model axis for future sequence/context parallelism
-(ring attention over the video axis) and for the I3D inference stage.
+- **Data parallelism**: a `('data',)` mesh axis, batches sharded along
+  axis 0, params replicated. Under jit, XLA GSPMD inserts the gradient
+  all-reduce over ICI automatically — no hand-written collective.
+- **Sequence/context parallelism** (net-new long-context capability,
+  SURVEY.md §5): an optional `'seq'` mesh axis shards the VIDEO TIME axis
+  of features/labels/masks, so `max_pos_len` can grow beyond what one
+  chip holds (TACoS videos at native clip resolution instead of the
+  reference's offline mean-pool downsampling, util/data_util.py:58-73).
+  GSPMD partitions the T-axis convolutions (halo exchange) and the
+  [B, h, T, T] attention (all-gather of K/V over ICI) automatically —
+  the model code is untouched.
 """
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+# batch keys whose SECOND axis is video time (sharded over 'seq')
+_TIME_AXIS_KEYS = ("vfeats", "s_labels", "e_labels", "h_labels")
 
-def make_mesh(dp_size=None, devices=None):
+
+def make_mesh(dp_size=None, sp_size=None, devices=None):
+    """1-D ('data',) mesh, or 2-D ('data', 'seq') when sp_size > 1."""
     devices = devices if devices is not None else jax.devices()
+    sp_size = sp_size or 1
     if dp_size is None:
-        dp_size = len(devices)
-    if dp_size > len(devices):
+        dp_size = len(devices) // sp_size
+    need = dp_size * sp_size
+    if need > len(devices):
         raise ValueError(
-            "dp_size %d exceeds available devices %d" % (dp_size, len(devices))
+            "dp_size %d x sp_size %d exceeds available devices %d"
+            % (dp_size, sp_size, len(devices))
         )
-    return Mesh(np.asarray(devices[:dp_size]).reshape(dp_size), axis_names=("data",))
+    if sp_size == 1:
+        return Mesh(np.asarray(devices[:dp_size]).reshape(dp_size),
+                    axis_names=("data",))
+    return Mesh(
+        np.asarray(devices[:need]).reshape(dp_size, sp_size),
+        axis_names=("data", "seq"),
+    )
 
 
 def batch_sharding(mesh):
@@ -33,12 +52,21 @@ def replicated(mesh):
     return NamedSharding(mesh, P())
 
 
+def _spec_for(key, mesh):
+    if "seq" in mesh.axis_names and key in _TIME_AXIS_KEYS:
+        return P("data", "seq")
+    return P("data")
+
+
 def shard_batch(batch, mesh):
-    """Place every leaf of a host batch with its leading dim on the data axis.
-    Batch size must be divisible by the mesh size (loaders produce fixed-B
-    batches, so this holds by construction when B % dp == 0)."""
-    sharding = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+    """Place each batch leaf: leading dim on 'data'; video-time second dim
+    additionally on 'seq' when the mesh has one. Batch size must divide by
+    the data-axis size (loaders produce fixed-B batches) and max_pos_len by
+    the seq-axis size."""
+    return {
+        k: jax.device_put(v, NamedSharding(mesh, _spec_for(k, mesh)))
+        for k, v in batch.items()
+    }
 
 
 def replicate(tree, mesh):

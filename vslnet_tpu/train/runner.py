@@ -132,15 +132,67 @@ def eval_test(eval_step, params, frozen, data_loader, mesh=None,
     return summarize_ious(ious, mode=mode, epoch=epoch, global_step=global_step)
 
 
+def bertify_dataset(dataset, tokenizer, max_len):
+    """Replace each record's GloVe word ids with WordPiece token ids (and
+    neutralize char ids) for the BERT text-encoder variant. Records keep
+    their original 'words'; encoding is `[CLS] tokens [SEP]` truncated to
+    max_len, PAD id 0 handled by the static loader."""
+
+    def encode(records):
+        if records is None:
+            return None
+        out = []
+        for rec in records:
+            rec = dict(rec)
+            ids = tokenizer(
+                " ".join(rec["words"]), add_special_tokens=True,
+                truncation=True, max_length=max_len,
+            )["input_ids"]
+            rec["w_ids"] = [int(i) for i in ids]
+            rec["c_ids"] = [[0] for _ in ids]
+            out.append(rec)
+        return out
+
+    new = dict(dataset)
+    for key in ("train_set", "val_set", "test_set"):
+        new[key] = encode(dataset.get(key))
+    return new
+
+
 class Runner:
     """Owns the compiled steps, mesh, loaders, and checkpoint manager."""
 
     def __init__(self, configs, dataset, visual_features, mesh=None):
         self.configs = configs
-        self.dataset = dataset
         if configs.char_size is None:
             configs.char_size = dataset["n_chars"]
-        self.mesh = mesh if mesh is not None else make_mesh(configs.dp_size)
+        if configs.text_encoder == "bert" and configs.bert_path:
+            import json as _json
+
+            cfg_path = os.path.join(configs.bert_path, "config.json")
+            if os.path.exists(cfg_path):
+                with open(cfg_path) as f:
+                    bc = _json.load(f)
+                configs.bert_vocab_size = bc.get("vocab_size", 30522)
+                configs.bert_hidden = bc.get("hidden_size", 768)
+                configs.bert_layers = bc.get("num_hidden_layers", 12)
+                configs.bert_heads = bc.get("num_attention_heads", 12)
+                configs.bert_intermediate = bc.get("intermediate_size", 3072)
+                configs.bert_max_pos = bc.get("max_position_embeddings", 512)
+            from transformers import BertTokenizerFast
+
+            tokenizer = BertTokenizerFast(
+                vocab_file=os.path.join(configs.bert_path, "vocab.txt"),
+                do_lower_case=True,
+            )
+            dataset = bertify_dataset(
+                dataset, tokenizer, max_len=configs.max_pos_len
+            )
+        self.dataset = dataset
+        self.mesh = (
+            mesh if mesh is not None
+            else make_mesh(configs.dp_size, getattr(configs, "sp_size", None))
+        )
         self.rng = set_random_state(configs.seed)
         # loaders share static caps so train/eval batches have equal shapes
         self.train_loader = TrainLoader(
@@ -159,6 +211,26 @@ class Runner:
             self.model, configs, dataset["word_vector"], self.rng,
             max_w=self.train_loader.max_w, max_c=self.train_loader.max_c,
         )
+        if configs.text_encoder == "bert" and configs.bert_path:
+            # overwrite the randomly-initialized BERT subtree with the
+            # converted pretrained weights (shape-checked leaf by leaf)
+            from vslnet_tpu.models.bert import load_hf_bert
+
+            try:
+                _, bert_params = load_hf_bert(configs.bert_path)
+
+                def _check(a, b):
+                    if a.shape != b.shape:
+                        raise ValueError(
+                            "BERT shape mismatch: %s vs %s" % (a.shape, b.shape)
+                        )
+
+                jax.tree.map(_check, params["bert"], bert_params)
+                params = dict(params)
+                params["bert"] = jax.tree.map(jnp.asarray, bert_params)
+            except FileNotFoundError:
+                print("WARNING: no BERT weights under %s; using random init"
+                      % configs.bert_path, flush=True)
         self.tx, self.schedule = make_optimizer(configs)
         opt_state = self.tx.init(params)
         self.params = replicate(params, self.mesh)
