@@ -8,7 +8,7 @@ vslnet_tpu/config.py for the full flag list.
 import os
 import sys
 
-from vslnet_tpu.config import build_parser, Config, load_saved_config
+from vslnet_tpu.config import build_parser, load_saved_config, namespace_to_config
 from vslnet_tpu.data.datasets import gen_or_load_dataset
 from vslnet_tpu.data.features import load_video_features
 from vslnet_tpu.train.runner import Runner
@@ -17,7 +17,7 @@ from vslnet_tpu.train.runner import Runner
 def main(argv=None):
     parser = build_parser()
     ns = parser.parse_args(argv)
-    configs = Config(**vars(ns))
+    configs = namespace_to_config(ns)
 
     if configs.mode.lower() == "test":
         # reload train-time configs, then re-apply explicit CLI overrides
@@ -31,6 +31,8 @@ def main(argv=None):
             if a.startswith("--")
         }
         overrides = {k: v for k, v in vars(ns).items() if k in explicit}
+        if "dim" in overrides:  # torch-ref CLI alias
+            overrides["hidden_size"] = overrides.pop("dim")
         overrides["mode"] = "test"
         configs = load_saved_config(model_dir, overrides)
 

@@ -209,3 +209,13 @@ def test_vocab_emb_gen_ordering_and_ids(tmp_path):
     np.testing.assert_allclose(vectors[2], np.full(300, 3.0))  # fish
     # char dict: chars with count >= 5 only ('o' appears 5x in dog x4 + axolotl...)
     assert char_dict[PAD] == 0 and char_dict[UNK] == 1
+
+
+def test_cli_dim_alias():
+    from vslnet_tpu.config import build_parser, namespace_to_config
+
+    ns = build_parser().parse_args(["--dim", "256"])
+    cfg = namespace_to_config(ns)
+    assert cfg.hidden_size == 256
+    ns = build_parser().parse_args(["--hidden_size", "64"])
+    assert namespace_to_config(ns).hidden_size == 64

@@ -137,3 +137,44 @@ def test_l2_regularization_selects_reference_params():
     reg = float(l2_regularization(params, 1.0, reference_l2_predicate))
     # only video_conv1d/kernel counts: 2 * 2^2 = 8 (unk/posemb/lstm excluded)
     np.testing.assert_allclose(reg, 8.0)
+
+
+def test_adamw_variant_has_bias_correction():
+    """--optimizer adamw (torch-ref recipe) differs from bert_adamw on the
+    first step exactly by Adam's bias correction."""
+    from vslnet_tpu.train.optim import make_optimizer
+
+    class Cfg:
+        clip_norm = 1e9
+        warmup_proportion = 0.0
+        num_train_steps = 10
+        init_lr = 1e-2
+        optimizer = "adamw"
+
+    tx, _ = make_optimizer(Cfg)
+    params = {"dense": {"kernel": jnp.array([1.0, -1.0])}}
+    grads = {"dense": {"kernel": jnp.array([0.1, 0.2])}}
+    state = tx.init(params)
+    updates, _ = tx.update(grads, state, params)
+    new_params = optax.apply_updates(params, updates)
+    # bias-corrected first step: m_hat = g, v_hat = g^2 -> direction ~ sign(g)
+    g = np.array([0.1, 0.2])
+    direction = g / (np.sqrt(g**2) + 1e-6 / np.sqrt(1 - 0.999))
+    expected = np.array([1.0, -1.0]) - 1e-2 * (direction + 0.01 * np.array([1.0, -1.0]))
+    np.testing.assert_allclose(new_params["dense"]["kernel"], expected,
+                               rtol=1e-3)
+
+
+def test_unknown_optimizer_raises():
+    from vslnet_tpu.train.optim import make_optimizer
+    import pytest
+
+    class Cfg:
+        clip_norm = 1.0
+        warmup_proportion = 0.0
+        num_train_steps = 10
+        init_lr = 1e-2
+        optimizer = "sgd"
+
+    with pytest.raises(ValueError):
+        make_optimizer(Cfg)

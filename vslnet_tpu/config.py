@@ -53,6 +53,7 @@ class Config:
     sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
     word_size: Optional[int] = None    # vocab cap (torch-ref main_t7.py flag)
     l2_decay: float = 3e-7             # kernel l2 regularization scale
+    optimizer: str = "bert_adamw"      # [bert_adamw (TF ref) | adamw (t7 ref)]
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint
@@ -106,13 +107,25 @@ def build_parser():
         else:
             argtype = str
         parser.add_argument("--" + field.name, type=argtype, default=default)
+    # torch-reference CLI aliases (main_t7.py:13-45): --dim == --hidden_size
+    parser.add_argument("--dim", type=int, default=None,
+                        help="alias for --hidden_size (torch-ref CLI)")
     return parser
+
+
+def namespace_to_config(ns):
+    kwargs = dict(vars(ns))
+    dim = kwargs.pop("dim", None)
+    cfg = Config(**kwargs)
+    if dim is not None:
+        cfg.hidden_size = dim
+    return cfg
 
 
 def parse_args(argv=None):
     parser = build_parser()
     ns = parser.parse_args(argv)
-    return Config(**vars(ns))
+    return namespace_to_config(ns)
 
 
 def load_saved_config(model_dir, overrides=None):

@@ -40,9 +40,15 @@ def filter_glove_embedding(word_dict, glove_path):
     return vectors
 
 
-def vocab_emb_gen(datasets, emb_path):
-    """Build (word_dict, char_dict, vectors) over a list of record lists."""
-    emb_vocab = load_glove_vocab(emb_path)
+def vocab_emb_gen(datasets, emb_path, use_native=True):
+    """Build (word_dict, char_dict, vectors) over a list of record lists.
+
+    With use_native (default), the 2x-full-file Python scan of the reference
+    is replaced by ONE streaming pass through the native C++ scanner
+    (vslnet_tpu/native/glove_scan.cpp) — identical outputs, ~an order of
+    magnitude faster on glove.840B.300d.txt. Falls back to the Python path
+    when no C++ toolchain is available.
+    """
     word_counter, char_counter = Counter(), Counter()
     for data in datasets:
         for record in data:
@@ -50,9 +56,26 @@ def vocab_emb_gen(datasets, emb_path):
                 word_counter[word] += 1
                 for char in word:
                     char_counter[char] += 1
-    word_vocab = [w for w, _ in word_counter.most_common() if w in emb_vocab]
-    tmp_word_dict = {word: index for index, word in enumerate(word_vocab)}
-    vectors = filter_glove_embedding(tmp_word_dict, emb_path)
+    candidates = [w for w, _ in word_counter.most_common()]
+    native_ok = False
+    if use_native:
+        try:
+            from vslnet_tpu.native.glove import glove_filter, native_available
+
+            if native_available():
+                all_vectors, found = glove_filter(
+                    emb_path, candidates, dim=GLOVE_DIM
+                )
+                word_vocab = [w for w, f in zip(candidates, found) if f]
+                vectors = all_vectors[found]
+                native_ok = True
+        except (RuntimeError, OSError):
+            native_ok = False
+    if not native_ok:
+        emb_vocab = load_glove_vocab(emb_path)
+        word_vocab = [w for w in candidates if w in emb_vocab]
+        tmp_word_dict = {word: index for index, word in enumerate(word_vocab)}
+        vectors = filter_glove_embedding(tmp_word_dict, emb_path)
     word_vocab = [PAD, UNK] + word_vocab
     word_dict = {word: idx for idx, word in enumerate(word_vocab)}
     char_vocab = [PAD, UNK] + [

@@ -79,9 +79,18 @@ def make_optimizer(configs):
     else:
         num_warmup_steps = int(configs.num_train_steps * configs.warmup_proportion)
     schedule = lr_schedule(configs.init_lr, configs.num_train_steps, num_warmup_steps)
+    kind = getattr(configs, "optimizer", "bert_adamw")
+    if kind == "adamw":
+        # torch-dialect recipe (model/VSLNet_t7.py:8-17): HF AdamW, i.e.
+        # Adam WITH bias correction + decoupled decay, same no-decay groups
+        adam = optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-6)
+    elif kind == "bert_adamw":
+        adam = scale_by_adam_no_bias_correction(b1=0.9, b2=0.999, eps=1e-6)
+    else:
+        raise ValueError("Unknown optimizer %s (use bert_adamw | adamw)" % kind)
     tx = optax.chain(
         optax.clip_by_global_norm(configs.clip_norm),
-        scale_by_adam_no_bias_correction(b1=0.9, b2=0.999, eps=1e-6),
+        adam,
         optax.add_decayed_weights(0.01, mask=no_decay_mask),
         optax.scale_by_learning_rate(schedule),  # scales by -lr
     )
