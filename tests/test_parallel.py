@@ -155,3 +155,24 @@ def test_sequence_parallel_eval_decodes_identically(tmp_path):
     s2, e2 = r2.eval_step(r2.params, r2.frozen, shard_batch(batch, r2.mesh))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+
+def test_host_shard_partition_properties():
+    from vslnet_tpu.parallel.distributed import host_shard
+
+    records = list(range(23))
+    shards = [host_shard(records, index=i, count=4) for i in range(4)]
+    # disjoint + covering
+    merged = sorted(x for s in shards for x in s)
+    assert merged == records
+    sizes = [len(s) for s in shards]
+    assert max(sizes) - min(sizes) <= 1
+    # identity when single process
+    assert host_shard(records, index=0, count=1) is records
+
+
+def test_distributed_initialize_noop_single_process():
+    from vslnet_tpu.parallel.distributed import initialize, process_count
+
+    assert initialize() is False  # no coordinator configured -> no-op
+    assert process_count() == 1

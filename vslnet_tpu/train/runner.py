@@ -166,6 +166,15 @@ class Runner:
         self.configs = configs
         if configs.char_size is None:
             configs.char_size = dataset["n_chars"]
+        if getattr(configs, "word_size", None) is None:
+            configs.word_size = dataset["n_words"]  # t7-ref main_t7.py:53
+        # multi-host: each process trains on a disjoint slice of the train
+        # records (evaluation stays full on every host)
+        from vslnet_tpu.parallel.distributed import host_shard
+
+        if jax.process_count() > 1:
+            dataset = dict(dataset)
+            dataset["train_set"] = host_shard(dataset["train_set"])
         if configs.text_encoder == "bert" and configs.bert_path:
             import json as _json
 
