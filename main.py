@@ -19,7 +19,7 @@ def main(argv=None):
     ns = parser.parse_args(argv)
     configs = namespace_to_config(ns)
 
-    if configs.mode.lower() == "test":
+    if configs.mode.lower() in ("test", "predict"):
         # reload train-time configs, then re-apply explicit CLI overrides
         # (reference main.py:120-123)
         model_dir = os.path.join(configs.home_dir(), "model")
@@ -30,10 +30,11 @@ def main(argv=None):
             for a in (argv if argv is not None else sys.argv[1:])
             if a.startswith("--")
         }
+        requested_mode = configs.mode.lower()
         overrides = {k: v for k, v in vars(ns).items() if k in explicit}
         if "dim" in overrides:  # torch-ref CLI alias
             overrides["hidden_size"] = overrides.pop("dim")
-        overrides["mode"] = "test"
+        overrides["mode"] = requested_mode
         configs = load_saved_config(model_dir, overrides)
 
     dataset = gen_or_load_dataset(configs)
@@ -51,6 +52,38 @@ def main(argv=None):
         runner.train(resume=configs.resume)
     elif configs.mode.lower() == "test":
         runner.test()
+    elif configs.mode.lower() == "predict":
+        if not configs.query or not configs.vid:
+            raise ValueError("--mode predict requires --query and --vid")
+        if configs.vid not in visual_features:
+            raise ValueError("No features for video {}".format(configs.vid))
+        from vslnet_tpu.serve import Localizer
+
+        runner.restore()
+        loc = Localizer(runner, dataset["word_dict"], dataset["char_dict"])
+        feats = visual_features[configs.vid]
+        # duration: look it up from any record of this vid, else treat the
+        # feature grid length as seconds
+        duration = None
+        for split in ("test_set", "val_set", "train_set"):
+            for rec in dataset.get(split) or []:
+                if rec["vid"] == configs.vid:
+                    duration = rec["duration"]
+                    break
+            if duration is not None:
+                break
+        if duration is None:
+            duration = float(feats.shape[0])
+        start_s, end_s = loc.localize(feats, duration, configs.query)
+        import json
+
+        print(
+            json.dumps(
+                {"vid": configs.vid, "query": configs.query,
+                 "start": round(start_s, 3), "end": round(end_s, 3)}
+            ),
+            flush=True,
+        )
     else:
         raise ValueError("Unknown mode {}!!!".format(configs.mode))
 

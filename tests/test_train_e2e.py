@@ -203,3 +203,29 @@ def test_profile_trace_written(tmp_path):
     for root, _, files in os.walk(prof_dir):
         found.extend(f for f in files if f.endswith(".xplane.pb"))
     assert found
+
+
+def test_localizer_serving_api(tmp_path):
+    """Serve path: train briefly, restore via Localizer, localize queries;
+    results match the batch-eval decode for the same inputs."""
+    from vslnet_tpu.serve import Localizer
+    from vslnet_tpu.data.labels import index_to_time
+    from vslnet_tpu.parallel.mesh import shard_batch
+
+    cfg = tiny_configs(tmp_path, epochs=1, eval_period=1)
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    runner.train(verbose=False)
+    runner.restore()
+    loc = Localizer(runner, dataset["word_dict"], dataset["char_dict"])
+    recs = dataset["test_set"][:3]
+    requests = [
+        (feats[r["vid"]], r["duration"], " ".join(r["words"])) for r in recs
+    ]
+    spans = loc.localize_batch(requests)
+    assert len(spans) == 3
+    for (st, et), r in zip(spans, recs):
+        assert 0.0 <= st <= et <= r["duration"] + 1e-6
+    # single-request path agrees with batch path
+    st1, et1 = loc.localize(*requests[0])
+    assert (st1, et1) == spans[0]

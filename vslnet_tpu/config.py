@@ -57,6 +57,8 @@ class Config:
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint
+    query: Optional[str] = None        # --mode predict: the text query
+    vid: Optional[str] = None          # --mode predict: target video id
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
     # BERT text-encoder variant
     text_encoder: str = "glove"        # [glove | bert]

@@ -72,12 +72,16 @@ def synthetic_dataset(
     val_set = make_split(n_val, n_train) if n_val else None
     test_set = make_split(n_test, n_train + n_val)
     vectors = rng.standard_normal((n_words - 2, word_dim)).astype(np.float32)
+    word_dict = {"<PAD>": 0, "<UNK>": 1}
+    word_dict.update({"w%d" % i: i for i in range(2, n_words)})
+    char_dict = {"<PAD>": 0, "<UNK>": 1}
+    char_dict.update({"c%d" % i: i for i in range(2, n_chars)})
     dataset = {
         "train_set": train_set,
         "val_set": val_set,
         "test_set": test_set,
-        "word_dict": {"w%d" % i: i for i in range(n_words)},
-        "char_dict": {"c%d" % i: i for i in range(n_chars)},
+        "word_dict": word_dict,
+        "char_dict": char_dict,
         "word_vector": vectors,
         "n_train": n_train,
         "n_val": n_val,
