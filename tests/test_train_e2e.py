@@ -229,3 +229,56 @@ def test_localizer_serving_api(tmp_path):
     # single-request path agrees with batch path
     st1, et1 = loc.localize(*requests[0])
     assert (st1, et1) == spans[0]
+
+
+def test_remat_matches_no_remat(tmp_path):
+    """--remat recomputes activations in the backward pass; numerics must be
+    identical to the standard path."""
+    from vslnet_tpu.parallel.mesh import shard_batch
+
+    dataset, feats = tiny_data(tiny_configs(tmp_path / "x"))
+    r1 = Runner(tiny_configs(tmp_path / "a"), dataset, feats)
+    cfg2 = tiny_configs(tmp_path / "b")
+    cfg2.remat = True
+    r2 = Runner(cfg2, dataset, feats)
+    _, batch = next(iter(r1.train_loader.batch_iter()))
+    b1 = shard_batch(batch, r1.mesh)
+    b2 = shard_batch(batch, r2.mesh)
+    p1, _, m1 = r1.train_step(r1.params, r1.frozen, r1.opt_state, b1, r1.rng, 0)
+    p2, _, m2 = r2.train_step(r2.params, r2.frozen, r2.opt_state, b2, r2.rng, 0)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        ),
+        p1, p2,
+    )
+
+
+def test_golden_loss_regression(tmp_path):
+    """Fixed-seed 5-step loss curve pinned to recorded values — guards
+    against silent numeric drift in the model/optimizer (SURVEY.md §4)."""
+    from vslnet_tpu.parallel.mesh import shard_batch
+
+    cfg = tiny_configs(tmp_path, epochs=2)
+    dataset, feats = tiny_data(cfg)
+    r = Runner(cfg, dataset, feats)
+    losses = []
+    for i, (_, batch) in enumerate(r.train_loader.batch_iter()):
+        if i >= 3:
+            break
+        b = shard_batch(batch, r.mesh)
+        r.params, r.opt_state, m = r.train_step(
+            r.params, r.frozen, r.opt_state, b, r.rng, i
+        )
+        losses.append(round(float(m["loss"]), 4))
+    golden_path = os.path.join(os.path.dirname(__file__),
+                               "golden_losses.json")
+    import json
+    if not os.path.exists(golden_path):
+        with open(golden_path, "w") as f:
+            json.dump(losses, f)
+        pytest.skip("golden losses recorded: %s" % losses)
+    with open(golden_path) as f:
+        golden = json.load(f)
+    np.testing.assert_allclose(losses, golden, rtol=2e-3)

@@ -51,6 +51,7 @@ class Config:
     use_pallas: bool = False           # fused Pallas kernels for hot blocks
     dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
     sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
+    remat: bool = False                # rematerialize encoders (memory for FLOPs)
     word_size: Optional[int] = None    # vocab cap (torch-ref main_t7.py flag)
     l2_decay: float = 3e-7             # kernel l2 regularization scale
     optimizer: str = "bert_adamw"      # [bert_adamw (TF ref) | adamw (t7 ref)]
@@ -89,7 +90,8 @@ def build_parser():
     parser = argparse.ArgumentParser(description="vslnet_tpu")
     for field in dataclasses.fields(Config):
         default = field.default
-        if field.name in ("use_pallas", "log_to_tensorboard", "resume"):
+        if field.name in ("use_pallas", "log_to_tensorboard", "resume",
+                          "remat"):
             parser.add_argument(
                 "--" + field.name,
                 type=lambda s: s.lower() in ("1", "true", "yes"),

@@ -63,11 +63,23 @@ def make_train_step(model, tx, configs):
     lam = float(configs.highlight_lambda)
     l2_scale = float(configs.l2_decay)
 
-    def loss_fn(params, frozen, batch, rng):
-        out = model.apply(
+    def forward(params, frozen, word_ids, char_ids, vfeats, v_len, rng):
+        return model.apply(
             {"params": params, "frozen": frozen},
-            batch["word_ids"], batch["char_ids"], batch["vfeats"], batch["v_len"],
+            word_ids, char_ids, vfeats, v_len,
             drop_rate=drop_rate, deterministic=False, rngs={"dropout": rng},
+        )
+
+    if getattr(configs, "remat", False):
+        # full-forward rematerialization: backward recomputes activations
+        # instead of keeping them in HBM — memory for FLOPs, the standard
+        # trade for long sequences / large sp_size (SURVEY.md §7)
+        forward = jax.checkpoint(forward)
+
+    def loss_fn(params, frozen, batch, rng):
+        out = forward(
+            params, frozen, batch["word_ids"], batch["char_ids"],
+            batch["vfeats"], batch["v_len"], rng,
         )
         loc = localization_loss(
             out["start_logits"], out["end_logits"],
