@@ -25,6 +25,9 @@ V100_REFERENCE_STEPS_PER_SEC = 20.0
 
 
 def main():
+    from vslnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from vslnet_tpu.config import Config
     from vslnet_tpu.parallel.mesh import make_mesh, shard_batch
     from vslnet_tpu.data.synthetic import synthetic_dataset

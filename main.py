@@ -15,6 +15,9 @@ from vslnet_tpu.train.runner import Runner
 
 
 def main(argv=None):
+    from vslnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = build_parser()
     ns = parser.parse_args(argv)
     configs = namespace_to_config(ns)

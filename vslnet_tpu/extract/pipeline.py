@@ -79,8 +79,10 @@ def load_frames_ffmpeg(video_path, tmp_dir, fps=24):
 
 
 def _prepare_frame(img_bgr):
-    """BGR uint8 -> RGB float32 in [-1, 1], min side resized to 226
-    (extract_charades.py:92-99)."""
+    """BGR uint8 -> RGB uint8, min side resized to 226. The [-1, 1]
+    normalization of the reference (extract_charades.py:92-99) happens on
+    DEVICE inside the jitted trunk — uint8 frames quarter the host->device
+    transfer, which dominates extraction wall-clock on remote TPU links."""
     import cv2
 
     img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
@@ -88,8 +90,7 @@ def _prepare_frame(img_bgr):
     if min(h, w) != 226:
         scale = 226.0 / min(h, w)
         img = cv2.resize(img, (int(round(w * scale)), int(round(h * scale))))
-    img = img.astype(np.float32)
-    return (img / 255.0) * 2.0 - 1.0
+    return img  # uint8
 
 
 def trunk_time_steps(n_frames):
@@ -142,18 +143,28 @@ class I3DExtractor:
         self.crop_size = crop_size
         self._rng_seed = rng_seed
         self.variables = variables  # None -> lazy random init on first use
-        self._infer = jax.jit(
-            lambda v, x: self.model.apply(v, x, extract_features=True)
-        )
+
+        def infer(v, x):
+            # uint8 RGB frames are normalized to [-1, 1] ON DEVICE so the
+            # host->device transfer is 4x smaller (the TPU link is the
+            # extraction bottleneck, not the MXU); float inputs are assumed
+            # pre-normalized (dtype branch resolves at trace time)
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 255.0 * 2.0 - 1.0
+            return self.model.apply(v, x, extract_features=True)
+
+        self._infer = jax.jit(infer)
 
     def _ensure_variables(self):
         if self.variables is None:  # random init (tests / smoke), deferred so
-            # construction stays cheap on fully-resumed extraction runs
+            # construction stays cheap on fully-resumed extraction runs.
+            # jit the init: eager init dispatches thousands of tiny ops,
+            # which is pathological over remote-TPU links.
             dummy = jnp.zeros(
                 (1, self.window_size, self.crop_size, self.crop_size, 3),
                 jnp.float32,
             )
-            self.variables = self.model.init(
+            self.variables = jax.jit(self.model.init)(
                 jax.random.PRNGKey(self._rng_seed), dummy
             )
 
@@ -167,16 +178,25 @@ class I3DExtractor:
         N = windows.shape[0]
         B = self.batch_size
         valid = valid or [windows.shape[1]] * N
-        outs = []
+        # stage all H2D transfers up front (jax.device_put is async and an
+        # order of magnitude faster than jnp.asarray on remote TPU links),
+        # then stream compute over them
+        chunks, counts = [], []
         for i in range(0, N, B):
             chunk = windows[i : i + B]
             k = chunk.shape[0]
             if k < B:  # pad to the static batch, slice off after
                 pad = np.repeat(chunk[-1:], B - k, axis=0)
                 chunk = np.concatenate([chunk, pad], axis=0)
-            feats = np.asarray(self._infer(self.variables, jnp.asarray(chunk)))
+            chunks.append(jax.device_put(chunk))
+            counts.append(k)
+        outs = []
+        row0 = 0
+        for chunk, k in zip(chunks, counts):
+            feats = np.asarray(self._infer(self.variables, chunk))
             for row in range(k):
-                outs.append(feats[row, : trunk_time_steps(valid[i + row])])
+                outs.append(feats[row, : trunk_time_steps(valid[row0 + row])])
+            row0 += k
         return np.concatenate(outs, axis=0)
 
     def extract_video(self, frames, strides=24):
