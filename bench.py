@@ -58,21 +58,26 @@ def main():
 
     params, frozen, opt_state = runner.params, runner.frozen, runner.opt_state
     # warmup / compile
-    for i in range(3):
+    for i in range(5):
         params, opt_state, m = runner.train_step(
             params, frozen, opt_state, batches[i % len(batches)], runner.rng, i
         )
     jax.block_until_ready(params)
 
-    n_steps = 200
-    t0 = time.perf_counter()
-    for i in range(n_steps):
-        params, opt_state, m = runner.train_step(
-            params, frozen, opt_state, batches[i % len(batches)], runner.rng, i
-        )
-    jax.block_until_ready(params)
-    dt = time.perf_counter() - t0
-    steps_per_sec = n_steps / dt
+    # median of 3 windows: the TPU may sit behind a shared link, so a single
+    # window can catch transient congestion
+    rates = []
+    for _ in range(3):
+        n_steps = 100
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            params, opt_state, m = runner.train_step(
+                params, frozen, opt_state, batches[i % len(batches)],
+                runner.rng, i,
+            )
+        jax.block_until_ready(params)
+        rates.append(n_steps / (time.perf_counter() - t0))
+    steps_per_sec = float(np.median(rates))
     assert np.isfinite(float(m["loss"]))
     print(
         json.dumps(
