@@ -21,10 +21,13 @@ def main(argv=None):
     parser = build_parser()
     ns = parser.parse_args(argv)
     configs = namespace_to_config(ns)
+    if configs.t7_checkpoint:
+        configs.cqa_bias = True  # t7 dialect (torch CQA output conv has bias)
 
-    if configs.mode.lower() in ("test", "predict"):
+    if configs.mode.lower() in ("test", "predict") and not configs.t7_checkpoint:
         # reload train-time configs, then re-apply explicit CLI overrides
-        # (reference main.py:120-123)
+        # (reference main.py:120-123); skipped when importing a torch .t7
+        # checkpoint (no local training run exists to reload from)
         model_dir = os.path.join(configs.home_dir(), "model")
         if not os.path.exists(os.path.join(model_dir, "configs.json")):
             raise ValueError("No pre-trained weights exist")

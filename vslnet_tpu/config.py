@@ -55,6 +55,8 @@ class Config:
     word_size: Optional[int] = None    # vocab cap (torch-ref main_t7.py flag)
     l2_decay: float = 3e-7             # kernel l2 regularization scale
     optimizer: str = "bert_adamw"      # [bert_adamw (TF ref) | adamw (t7 ref)]
+    cqa_bias: bool = False             # t7-dialect CQA output bias (ckpt import)
+    t7_checkpoint: Optional[str] = None  # import a reference torch .t7 ckpt
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint
@@ -91,7 +93,7 @@ def build_parser():
     for field in dataclasses.fields(Config):
         default = field.default
         if field.name in ("use_pallas", "log_to_tensorboard", "resume",
-                          "remat"):
+                          "remat", "cqa_bias"):
             parser.add_argument(
                 "--" + field.name,
                 type=lambda s: s.lower() in ("1", "true", "yes"),

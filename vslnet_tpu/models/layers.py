@@ -338,6 +338,10 @@ class CQAttention(nn.Module):
     dim: int
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    # TF parity: the output conv has NO bias (model/layers.py:205). The torch
+    # reference's cqa_linear has one (layers_t7.py:221) — enabled when
+    # importing t7 checkpoints (models/convert_t7.py).
+    out_bias: bool = False
 
     @nn.compact
     def __call__(self, video, query, v_mask, q_mask, *, deterministic, drop_rate):
@@ -352,7 +356,7 @@ class CQAttention(nn.Module):
             out = fused_cqa_concat(
                 video, query, v_mask, q_mask, w4v, w4q, w4mul.reshape(-1)
             ).astype(self.dtype)
-            out = Conv1D(self.dim, use_bias=False, dtype=self.dtype,
+            out = Conv1D(self.dim, use_bias=self.out_bias, dtype=self.dtype,
                          name="dense")(out)
             return out, None
         drop = lambda t: nn.Dropout(rate=drop_rate, deterministic=deterministic)(t)
@@ -381,7 +385,8 @@ class CQAttention(nn.Module):
                          preferred_element_type=self.dtype,
                          precision=dot_precision(self.dtype))
         out = jnp.concatenate([video, v2q, video * v2q, video * q2v], axis=-1)
-        out = Conv1D(self.dim, use_bias=False, dtype=self.dtype, name="dense")(out)
+        out = Conv1D(self.dim, use_bias=self.out_bias, dtype=self.dtype,
+                     name="dense")(out)
         return out, score
 
 

@@ -43,6 +43,7 @@ class VSLNet(nn.Module):
     word_vectors_shape: Tuple[int, int] = (100, 300)
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused inference kernels (CQA, highlight gate)
+    cqa_bias: bool = False    # t7-dialect CQA output bias (checkpoint import)
     # BERT text-encoder variant (BASELINE.json config 5): replaces
     # GloVe+charCNN at the model/VSLNet.py:43-48 boundary; word_ids are then
     # WordPiece token ids and char_ids are ignored.
@@ -106,7 +107,7 @@ class VSLNet(nn.Module):
         # context-query attention + pooled-query concat
         feats, vq_score = CQAttention(
             dim=self.hidden_size, dtype=self.dtype, use_pallas=self.use_pallas,
-            name="video_query_attention",
+            out_bias=self.cqa_bias, name="video_query_attention",
         )(video, query, v_mask, q_mask, deterministic=deterministic,
           drop_rate=drop_rate)
         feats = CQConcat(dim=self.hidden_size, dtype=self.dtype,
@@ -164,5 +165,6 @@ def build_model(configs, word_vectors_shape, dtype=None):
         word_vectors_shape=tuple(word_vectors_shape),
         dtype=dtype,
         use_pallas=bool(getattr(configs, "use_pallas", False)),
+        cqa_bias=bool(getattr(configs, "cqa_bias", False)),
         **bert_kw,
     )

@@ -428,13 +428,43 @@ class Runner:
         return step, restored.get("extra", {})
 
     def restore(self):
+        if getattr(self.configs, "t7_checkpoint", None):
+            return self.restore_t7(self.configs.t7_checkpoint)
         ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
         step, _ = self._restore_from(ckpt)
         ckpt.close()
         return step
 
+    def restore_t7(self, path):
+        """Import a reference torch .t7 checkpoint (models/convert_t7.py).
+        Requires the model built with cqa_bias=True (--cqa_bias true)."""
+        from vslnet_tpu.models.convert_t7 import load_t7_checkpoint
+
+        if not self.configs.cqa_bias:
+            raise ValueError(
+                "t7 checkpoints need --cqa_bias true (the torch reference's "
+                "CQA output conv has a bias; the TF graph's does not)"
+            )
+        variables = load_t7_checkpoint(path, predictor=self.configs.predictor)
+
+        def _check(a, b):
+            if a.shape != tuple(b.shape):
+                raise ValueError(
+                    "t7 shape mismatch: %s vs %s" % (a.shape, b.shape)
+                )
+
+        jax.tree.map(_check, self.params, variables["params"])
+        self.params = replicate(
+            jax.tree.map(jnp.asarray, variables["params"]), self.mesh
+        )
+        self.frozen = replicate(
+            jax.tree.map(jnp.asarray, variables["frozen"]), self.mesh
+        )
+        return 0
+
     def test(self, verbose=True):
-        if not os.path.exists(self.model_dir):
+        if (not getattr(self.configs, "t7_checkpoint", None)
+                and not os.path.exists(self.model_dir)):
             raise ValueError("No pre-trained weights exist")
         self.restore()
         r1i3, r1i5, r1i7, mi, *_ = self.evaluate(mode="test")
