@@ -23,8 +23,9 @@ def main(argv=None):
     configs = namespace_to_config(ns)
     if configs.t7_checkpoint:
         configs.cqa_bias = True  # t7 dialect (torch CQA output conv has bias)
+    external_ckpt = bool(configs.t7_checkpoint or configs.tf_checkpoint)
 
-    if configs.mode.lower() in ("test", "predict") and not configs.t7_checkpoint:
+    if configs.mode.lower() in ("test", "predict") and not external_ckpt:
         # reload train-time configs, then re-apply explicit CLI overrides
         # (reference main.py:120-123); skipped when importing a torch .t7
         # checkpoint (no local training run exists to reload from)

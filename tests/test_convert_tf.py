@@ -1,0 +1,158 @@
+"""GROUND-TRUTH whole-model parity: build the reference's actual TF graph
+(model/VSLNet.py via tf.compat.v1), randomly initialize it, convert its
+variables with convert_tf_variables, and require our flax model to reproduce
+its forward outputs. This also validates the released-.ckpt import path."""
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(os.path.join(REF, "model", "VSLNet.py")),
+    reason="reference tree unavailable",
+)
+
+
+def _build_reference_graph(predictor, word_vectors, dims):
+    tf = pytest.importorskip("tensorflow")
+    sys.path.insert(0, REF)
+    try:
+        import model.ops as ref_ops
+
+        # the reference's keras l2 regularizer crashes under Keras 3 with
+        # v1 ref-variables; it only contributes the l2 loss term (not the
+        # forward outputs we compare), so drop it
+        ref_ops.regularizer = None
+        from model.VSLNet import VSLNet as TFVSLNet
+    finally:
+        sys.path.remove(REF)
+    tf1 = tf.compat.v1
+
+    configs = types.SimpleNamespace(
+        word_dim=dims["word_dim"], char_size=dims["char_size"],
+        char_dim=dims["char_dim"], hidden_size=dims["dim"],
+        video_feature_dim=dims["video_dim"], num_heads=dims["heads"],
+        max_pos_len=dims["T"], predictor=predictor, highlight_lambda=5.0,
+        warmup_proportion=0.0, num_train_steps=100, init_lr=1e-4,
+        clip_norm=1.0, mode="train",
+    )
+    graph = tf1.Graph()
+    model = TFVSLNet(configs, graph=graph, vectors=word_vectors)
+    return tf, graph, model
+
+
+# only the transformer predictor: TF 2.21/Keras 3 removed compat.v1
+# LSTMCell so the reference's rnn graph cannot even build here; the LSTM
+# path's TF semantics are pinned by test_layers.py::
+# test_lstm_matches_tf_cell_semantics and the t7 whole-model test
+@pytest.mark.parametrize("predictor", ["transformer"])
+def test_tf_reference_ground_truth_parity(predictor):
+    import jax.numpy as jnp
+    from vslnet_tpu.models.convert_tf import convert_tf_variables
+    from vslnet_tpu.models.vslnet import VSLNet
+
+    dims = dict(word_dim=12, char_size=14, char_dim=6, dim=16, video_dim=10,
+                heads=4, T=16)
+    rng = np.random.default_rng(0)
+    n_glove = 25
+    word_vectors = rng.standard_normal((n_glove, dims["word_dim"])).astype(
+        np.float32)
+    tf, graph, model = _build_reference_graph(predictor, word_vectors, dims)
+    tf1 = tf.compat.v1
+
+    B, W, C, T = 3, 7, 5, dims["T"]
+    word_ids = rng.integers(1, n_glove + 2, (B, W)).astype(np.int32)
+    word_ids[1, 5:] = 0
+    char_ids = rng.integers(0, dims["char_size"], (B, W, C)).astype(np.int32)
+    char_ids[word_ids == 0] = 0
+    vfeats = rng.standard_normal((B, T, dims["video_dim"])).astype(np.float32)
+    v_len = np.array([T, 9, 12], np.int32)
+    y1 = np.eye(T, dtype=np.int32)[[2, 0, 5]]
+    y2 = np.eye(T, dtype=np.int32)[[7, 3, 9]]
+    h_labels = np.zeros((B, T), np.int32)
+
+    with graph.as_default():
+        with tf1.Session(graph=graph) as sess:
+            tf1.set_random_seed(11)
+            sess.run(tf1.global_variables_initializer())
+            var_values = {
+                v.name.split(":")[0]: sess.run(v)
+                for v in tf1.global_variables()
+            }
+            feed = {
+                model.video_inputs: vfeats,
+                model.video_seq_length: v_len,
+                model.word_ids: word_ids,
+                model.char_ids: char_ids,
+                model.y1: y1, model.y2: y2,
+                model.highlight_labels: h_labels,
+            }
+            h_ref, s_idx_ref, e_idx_ref = sess.run(
+                [model.highlight_scores, model.start_index, model.end_index],
+                feed_dict=feed,
+            )
+            sp_ref, ep_ref = sess.run(
+                [model.start_prob, model.end_prob], feed_dict=feed
+            )
+
+    variables = convert_tf_variables(
+        lambda name: var_values[name], predictor=predictor
+    )
+    jmodel = VSLNet(
+        hidden_size=dims["dim"], char_size=dims["char_size"],
+        char_dim=dims["char_dim"], word_dim=dims["word_dim"],
+        video_feature_dim=dims["video_dim"], num_heads=dims["heads"],
+        max_pos_len=T, predictor=predictor,
+        word_vectors_shape=(n_glove, dims["word_dim"]),
+    )
+    out = jmodel.apply(
+        {"params": variables["params"], "frozen": variables["frozen"]},
+        jnp.asarray(word_ids), jnp.asarray(char_ids), jnp.asarray(vfeats),
+        jnp.asarray(v_len),
+    )
+    v_mask = (np.arange(T)[None, :] < v_len[:, None])
+    np.testing.assert_allclose(
+        np.asarray(out["highlight_scores"])[v_mask], h_ref[v_mask], atol=2e-4
+    )
+    from vslnet_tpu.models.losses import decode_span
+
+    sp, ep, s_idx, e_idx = decode_span(out["start_logits"], out["end_logits"])
+    np.testing.assert_allclose(np.asarray(sp), sp_ref, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(ep), ep_ref, atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(s_idx), s_idx_ref)
+    np.testing.assert_array_equal(np.asarray(e_idx), e_idx_ref)
+
+
+def test_tf_checkpoint_file_roundtrip(tmp_path):
+    """Save the reference graph with tf.train.Saver (the released-checkpoint
+    format) and import it via load_tf_checkpoint."""
+    import jax.numpy as jnp
+    from vslnet_tpu.models.convert_tf import load_tf_checkpoint
+
+    dims = dict(word_dim=12, char_size=14, char_dim=6, dim=16, video_dim=10,
+                heads=4, T=16)
+    rng = np.random.default_rng(1)
+    word_vectors = rng.standard_normal((25, dims["word_dim"])).astype(
+        np.float32)
+    tf, graph, model = _build_reference_graph("transformer", word_vectors, dims)
+    tf1 = tf.compat.v1
+    ckpt_path = str(tmp_path / "vslnet_77.ckpt")
+    with graph.as_default():
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            tf1.train.Saver(max_to_keep=3).save(sess, ckpt_path)
+            expected_unk = sess.run(
+                [v for v in tf1.global_variables()
+                 if v.name == "word_embeddings/unk:0"][0]
+            )
+    variables = load_tf_checkpoint(ckpt_path, predictor="transformer")
+    np.testing.assert_allclose(
+        variables["params"]["word_embeddings"]["unk"], expected_unk
+    )
+    np.testing.assert_allclose(
+        variables["frozen"]["word_embeddings"]["word_vectors"], word_vectors,
+        atol=1e-6,
+    )

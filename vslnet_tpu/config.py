@@ -57,6 +57,7 @@ class Config:
     optimizer: str = "bert_adamw"      # [bert_adamw (TF ref) | adamw (t7 ref)]
     cqa_bias: bool = False             # t7-dialect CQA output bias (ckpt import)
     t7_checkpoint: Optional[str] = None  # import a reference torch .t7 ckpt
+    tf_checkpoint: Optional[str] = None  # import a reference TF .ckpt
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint

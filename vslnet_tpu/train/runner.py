@@ -430,10 +430,34 @@ class Runner:
     def restore(self):
         if getattr(self.configs, "t7_checkpoint", None):
             return self.restore_t7(self.configs.t7_checkpoint)
+        if getattr(self.configs, "tf_checkpoint", None):
+            return self.restore_tf(self.configs.tf_checkpoint)
         ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
         step, _ = self._restore_from(ckpt)
         ckpt.close()
         return step
+
+    def restore_tf(self, path):
+        """Import a reference TF .ckpt (models/convert_tf.py) — the released
+        ground-truth checkpoints (reference README.md:66-69)."""
+        from vslnet_tpu.models.convert_tf import load_tf_checkpoint
+
+        variables = load_tf_checkpoint(path, predictor=self.configs.predictor)
+
+        def _check(a, b):
+            if a.shape != tuple(b.shape):
+                raise ValueError(
+                    "tf ckpt shape mismatch: %s vs %s" % (a.shape, b.shape)
+                )
+
+        jax.tree.map(_check, self.params, variables["params"])
+        self.params = replicate(
+            jax.tree.map(jnp.asarray, variables["params"]), self.mesh
+        )
+        self.frozen = replicate(
+            jax.tree.map(jnp.asarray, variables["frozen"]), self.mesh
+        )
+        return 0
 
     def restore_t7(self, path):
         """Import a reference torch .t7 checkpoint (models/convert_t7.py).
@@ -464,6 +488,7 @@ class Runner:
 
     def test(self, verbose=True):
         if (not getattr(self.configs, "t7_checkpoint", None)
+                and not getattr(self.configs, "tf_checkpoint", None)
                 and not os.path.exists(self.model_dir)):
             raise ValueError("No pre-trained weights exist")
         self.restore()
