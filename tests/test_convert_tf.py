@@ -156,3 +156,148 @@ def test_tf_checkpoint_file_roundtrip(tmp_path):
         variables["frozen"]["word_embeddings"]["word_vectors"], word_vectors,
         atol=1e-6,
     )
+
+
+def test_training_dynamics_match_tf_reference():
+    """3 full optimization steps (fwd + bwd + AdamW + clip) of the
+    reference's TF graph vs our train step, from identical weights and
+    batches: per-step losses and final params must agree."""
+    import jax
+    import jax.numpy as jnp
+    from vslnet_tpu.models.convert_tf import convert_tf_variables, tf_name_map
+    from vslnet_tpu.models.vslnet import VSLNet
+    from vslnet_tpu.models.losses import (
+        highlight_loss, localization_loss,
+    )
+    from vslnet_tpu.train.optim import make_optimizer
+    import optax
+
+    dims = dict(word_dim=12, char_size=14, char_dim=6, dim=16, video_dim=10,
+                heads=4, T=16)
+    rng = np.random.default_rng(5)
+    n_glove = 25
+    word_vectors = rng.standard_normal((n_glove, dims["word_dim"])).astype(
+        np.float32)
+    tf, graph, model = _build_reference_graph("transformer", word_vectors,
+                                              dims)
+    tf1 = tf.compat.v1
+
+    B, W, C, T = 4, 7, 5, dims["T"]
+    n_steps = 3
+    batches = []
+    for _ in range(n_steps):
+        word_ids = rng.integers(1, n_glove + 2, (B, W)).astype(np.int32)
+        char_ids = rng.integers(0, dims["char_size"], (B, W, C)).astype(
+            np.int32)
+        vfeats = rng.standard_normal((B, T, dims["video_dim"])).astype(
+            np.float32)
+        v_len = rng.integers(6, T + 1, (B,)).astype(np.int32)
+        v_len[0] = T  # reference pads to the batch max (mask maxlen == T)
+        s_ind = np.array([int(rng.integers(0, l)) for l in v_len])
+        e_ind = np.array([int(rng.integers(s, l)) for s, l in zip(s_ind, v_len)])
+        y1 = np.eye(T, dtype=np.int32)[s_ind]
+        y2 = np.eye(T, dtype=np.int32)[e_ind]
+        h = np.zeros((B, T), np.int32)
+        for b in range(B):
+            h[b, s_ind[b]:e_ind[b] + 1] = 1
+        batches.append(dict(word_ids=word_ids, char_ids=char_ids,
+                            vfeats=vfeats, v_len=v_len, y1=y1, y2=y2, h=h))
+
+    tf_losses = []
+    with graph.as_default():
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            var_values = {
+                v.name.split(":")[0]: sess.run(v)
+                for v in tf1.global_variables()
+            }
+            for bt in batches:
+                feed = {
+                    model.video_inputs: bt["vfeats"],
+                    model.video_seq_length: bt["v_len"],
+                    model.word_ids: bt["word_ids"],
+                    model.char_ids: bt["char_ids"],
+                    model.y1: bt["y1"], model.y2: bt["y2"],
+                    model.highlight_labels: bt["h"],
+                    # drop_rate placeholder defaults to 0.0
+                }
+                _, loss, h_loss = sess.run(
+                    [model.train_op, model.loss, model.highlight_loss],
+                    feed_dict=feed,
+                )
+                tf_losses.append((float(loss), float(h_loss)))
+            tf_final = {
+                v.name.split(":")[0]: sess.run(v)
+                for v in tf1.trainable_variables()
+            }
+
+    # --- our side: same init, same batches, same optimizer settings -------
+    variables = convert_tf_variables(
+        lambda name: var_values[name], predictor="transformer"
+    )
+    jmodel = VSLNet(
+        hidden_size=dims["dim"], char_size=dims["char_size"],
+        char_dim=dims["char_dim"], word_dim=dims["word_dim"],
+        video_feature_dim=dims["video_dim"], num_heads=dims["heads"],
+        max_pos_len=T, predictor="transformer",
+        word_vectors_shape=(n_glove, dims["word_dim"]),
+    )
+
+    class Cfg:
+        clip_norm = 1.0
+        warmup_proportion = 0.0
+        num_train_steps = 100
+        init_lr = 1e-4
+        optimizer = "bert_adamw"
+
+    tx, _ = make_optimizer(Cfg)
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    frozen = jax.tree.map(jnp.asarray, variables["frozen"])
+    opt_state = tx.init(params)
+
+    def loss_fn(params, bt):
+        out = jmodel.apply(
+            {"params": params, "frozen": frozen},
+            jnp.asarray(bt["word_ids"]), jnp.asarray(bt["char_ids"]),
+            jnp.asarray(bt["vfeats"]), jnp.asarray(bt["v_len"]),
+            drop_rate=0.0, deterministic=True,  # TF side has drop_rate 0
+        )
+        loc = localization_loss(out["start_logits"], out["end_logits"],
+                                jnp.asarray(bt["y1"]), jnp.asarray(bt["y2"]))
+        hl = highlight_loss(out["highlight_logits"], jnp.asarray(bt["h"]),
+                            out["v_mask"])
+        # reference regularizer dropped on the TF side (Keras 3): l2 = 0
+        return loc + 5.0 * hl, (loc, hl)
+
+    my_losses = []
+    for bt in batches:
+        grads, (loc, hl) = jax.grad(loss_fn, has_aux=True)(params, bt)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        my_losses.append((float(loc), float(hl)))
+
+    # fp32 accumulation-order differences (oneDNN on the TF side vs XLA)
+    # compound slightly across steps; ~1e-3 relative is numerics, not math
+    for (tl, th), (ml, mh) in zip(tf_losses, my_losses):
+        np.testing.assert_allclose(ml, tl, rtol=1e-3)
+        np.testing.assert_allclose(mh, th, rtol=3e-3)
+    # final params agree (spot-check a few heavyweight tensors)
+    name_map = tf_name_map("transformer")
+    for path in [("video_conv1d", "kernel"),
+                 ("feature_encoder", "multihead_attention_block",
+                  "multihead_attention", "query", "kernel"),
+                 ("conditioned_predictor", "start_hidden", "kernel"),
+                 ("highlighting_layer", "dense", "bias")]:
+        node = params
+        for k in path:
+            node = node[k]
+        tf_node = tf_final[name_map[path]]
+        tf_node = np.asarray(tf_node)
+        if tf_node.ndim == 3 and tf_node.shape[0] == 1 and path[-1] == "kernel":
+            tf_node = tf_node[0]
+        if path[-1] == "bias" and tf_node.ndim == 3:
+            tf_node = tf_node.reshape(-1)
+        np.testing.assert_allclose(
+            np.asarray(node), tf_node, atol=5e-5,
+            err_msg="param %s diverged" % "/".join(path),
+        )
