@@ -39,6 +39,30 @@ def _static_caps(datasets, configs):
     return int(max_w), int(max_c)
 
 
+class VideoBank:
+    """All videos packed into one contiguous [n_videos, T, D] array so batch
+    assembly is a single vectorized fancy-index instead of a Python loop of
+    per-row copies. Built once and shared between train/test loaders (same
+    memory as the reference's per-vid RAM dict, util/data_util.py:44-55)."""
+
+    def __init__(self, visual_features, max_pos_len, feature_dim):
+        self.vid_to_row = {}
+        n = len(visual_features)
+        self.bank = np.zeros((max(n, 1), max_pos_len, feature_dim), np.float32)
+        self.lengths = np.zeros((max(n, 1),), np.int32)
+        for row, (vid, feat) in enumerate(visual_features.items()):
+            L = min(feat.shape[0], max_pos_len)
+            self.bank[row, :L] = feat[:L]
+            self.lengths[row] = L
+            self.vid_to_row[vid] = row
+
+    @classmethod
+    def wrap(cls, visual_features, max_pos_len, feature_dim):
+        if isinstance(visual_features, cls):
+            return visual_features
+        return cls(visual_features, max_pos_len, feature_dim)
+
+
 def make_highlight_labels(s_ind, e_ind, v_len, max_len, extend):
     """Reference util/data_loader.py:59-70 for a single record."""
     h = np.zeros(max_len, dtype=np.int32)
@@ -62,7 +86,10 @@ class _EncodedSplit:
         n = len(records)
         T = configs.max_pos_len
         self.records = records
-        self.visual_feats = visual_feats
+        self.bank = VideoBank.wrap(
+            visual_feats, T, configs.video_feature_dim
+        )
+        self.video_rows = np.zeros((n,), dtype=np.int32)
         self.n = n
         self.word_ids = np.zeros((n, max_w), dtype=np.int32)
         self.char_ids = np.zeros((n, max_w, max_c), dtype=np.int32)
@@ -80,6 +107,7 @@ class _EncodedSplit:
                 self.char_ids[i, j, : len(c)] = c
             self.v_len[i] = rec["v_len"]
             self.vids.append(rec["vid"])
+            self.video_rows[i] = self.bank.vid_to_row[rec["vid"]]
             if train:
                 self.s_labels[i, rec["s_ind"]] = 1
                 self.e_labels[i, rec["e_ind"]] = 1
@@ -94,13 +122,13 @@ class _EncodedSplit:
         """Assemble a fixed-size batch from record indices (len <= batch_size;
         short batches are zero-padded and flagged via batch_mask)."""
         k = len(idxs)
-        T, D = self.T, self.D
-        vfeats = np.zeros((batch_size, T, D), dtype=np.float32)
-        for row, i in enumerate(idxs):
-            feat = self.visual_feats[self.vids[i]]
-            vfeats[row, : feat.shape[0]] = feat
         pad = [0] * (batch_size - k)
         sel = list(idxs) + pad
+        # one vectorized fancy-index into the packed bank (rows beyond T are
+        # already zero-padded there)
+        vfeats = self.bank.bank[self.video_rows[sel]]
+        if pad:
+            vfeats[k:] = 0.0
         batch = {
             "vfeats": vfeats,
             "v_len": np.maximum(self.v_len[sel], 1).astype(np.int32),

@@ -236,6 +236,12 @@ class Runner:
             else make_mesh(configs.dp_size, getattr(configs, "sp_size", None))
         )
         self.rng = set_random_state(configs.seed)
+        # pack videos once into a contiguous bank shared by both loaders
+        from vslnet_tpu.data.loader import VideoBank
+
+        visual_features = VideoBank.wrap(
+            visual_features, configs.max_pos_len, configs.video_feature_dim
+        )
         # loaders share static caps so train/eval batches have equal shapes
         self.train_loader = TrainLoader(
             dataset["train_set"], visual_features, configs
@@ -330,6 +336,7 @@ class Runner:
         score_path = os.path.join(self.model_dir, "eval_results.txt")
         t_start = time.time()
         score_mode = "a" if (resume and global_step > 0) else "w"
+        period_t0 = time.time()
         # optional jax.profiler capture of steps [warmup, warmup + N)
         # (SURVEY.md §5: the reference has no tracing/profiling at all);
         # warmup shrinks on short runs so the window always fits
@@ -368,9 +375,14 @@ class Runner:
                     if global_step % configs.period == 0:
                         loss = float(m["loss"])
                         h_loss = float(m["highlight_loss"])
+                        now = time.time()
+                        steps_per_sec = configs.period / max(
+                            now - period_t0, 1e-9)
+                        period_t0 = now
                         writer.write(
                             [("train/loss", loss),
-                             ("train/highlight_loss", h_loss)],
+                             ("train/highlight_loss", h_loss),
+                             ("train/steps_per_sec", steps_per_sec)],
                             global_step,
                         )
                         if verbose:
