@@ -73,8 +73,6 @@ def gen_or_load_dataset(configs):
     vfeat_lens = load_json(feat_len_path)
     for vid, vfeat_len in vfeat_lens.items():
         vfeat_lens[vid] = min(configs.max_pos_len, vfeat_len)
-    if configs.task not in PROCESSORS:
-        raise ValueError("Unknown task {}!!!".format(configs.task))
     processor = PROCESSORS[configs.task]()
     train_data, val_data, test_data = processor.convert(data_dir)
     data_list = (

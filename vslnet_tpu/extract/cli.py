@@ -62,9 +62,11 @@ def cmd_charades(args):
         variables=_i3d_variables(args), window_size=args.strides,
         batch_size=args.batch_size,
     )
+    # Charades resize policy: upscale only when min side < 226
+    # (extract_charades.py:95-98)
     extract_videos(paths, args.save_dir, extractor=extractor,
                    strides=args.strides, fps=args.fps,
-                   use_ffmpeg=args.use_ffmpeg)
+                   use_ffmpeg=args.use_ffmpeg, min_side=226, only_upscale=True)
 
 
 def cmd_activitynet(args):
@@ -83,9 +85,12 @@ def _glob_extract(args):
         variables=_i3d_variables(args), window_size=args.strides,
         batch_size=args.batch_size,
     )
+    # ActivityNet/TACoS resize policy: ALWAYS scale min side to 224
+    # (extract_activitynet.py:36-38, extract_tacos.py same)
     extract_videos(paths, args.save_dir, extractor=extractor,
                    strides=args.strides, fps=args.fps,
-                   use_ffmpeg=args.use_ffmpeg)
+                   use_ffmpeg=args.use_ffmpeg, min_side=224,
+                   only_upscale=False)
 
 
 def cmd_activitynet_org(args):

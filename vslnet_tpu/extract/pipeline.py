@@ -34,25 +34,33 @@ from vslnet_tpu.extract.transforms import CenterCrop
 from vslnet_tpu.models.i3d import InceptionI3d
 
 
-def load_frames_cv2(video_path, fps=24):
-    """Decode a video to float32 frames at the requested fps, min-side
-    resized to 226 and normalized to [-1, 1] (extract_charades.py:92-99)."""
+def load_frames_cv2(video_path, fps=24, min_side=226, only_upscale=True):
+    """Decode a video to uint8 RGB frames resampled to the requested fps
+    (duplicating frames for low-fps sources and dropping for high-fps ones,
+    matching ffmpeg's `-r` used by the reference, extract_charades.py:80-84).
+
+    Resize policy is per-dataset: Charades upscales ONLY when the min side
+    is < 226 (extract_charades.py:95-98); ActivityNet/TACoS always scale the
+    min side to 224 (extract_activitynet.py:36-38)."""
     import cv2
 
     cap = cv2.VideoCapture(video_path)
     if not cap.isOpened():
         raise IOError("cannot open video %s" % video_path)
-    src_fps = cap.get(cv2.CAP_PROP_FPS) or fps
-    step = max(src_fps / float(fps), 1e-6)
+    src_fps = cap.get(cv2.CAP_PROP_FPS) or float(fps)
     frames = []
-    next_t, idx = 0.0, 0
+    j = 0  # next target-frame index; source index for target j is
+    idx = 0  # floor(j * src_fps / fps)
     while True:
         ok, img = cap.read()
         if not ok:
             break
-        if idx >= next_t:
-            frames.append(_prepare_frame(img))
-            next_t += step
+        prepared = None
+        while int(j * src_fps / float(fps)) == idx:
+            if prepared is None:
+                prepared = _prepare_frame(img, min_side, only_upscale)
+            frames.append(prepared)
+            j += 1
         idx += 1
     cap.release()
     if not frames:
@@ -60,7 +68,8 @@ def load_frames_cv2(video_path, fps=24):
     return np.stack(frames)
 
 
-def load_frames_ffmpeg(video_path, tmp_dir, fps=24):
+def load_frames_ffmpeg(video_path, tmp_dir, fps=24, min_side=226,
+                       only_upscale=True):
     """ffmpeg -> jpg fallback matching the reference pipeline exactly
     (extract_charades.py:80-84)."""
     import cv2
@@ -74,21 +83,25 @@ def load_frames_ffmpeg(video_path, tmp_dir, fps=24):
     )
     frames = []
     for path in sorted(glob.glob(os.path.join(tmp_dir, "*.jpg"))):
-        frames.append(_prepare_frame(cv2.imread(path)))
+        frames.append(_prepare_frame(cv2.imread(path), min_side, only_upscale))
     return np.stack(frames)
 
 
-def _prepare_frame(img_bgr):
-    """BGR uint8 -> RGB uint8, min side resized to 226. The [-1, 1]
-    normalization of the reference (extract_charades.py:92-99) happens on
-    DEVICE inside the jitted trunk — uint8 frames quarter the host->device
-    transfer, which dominates extraction wall-clock on remote TPU links."""
+def _prepare_frame(img_bgr, min_side=226, only_upscale=True):
+    """BGR uint8 -> RGB uint8 with the per-dataset resize policy:
+    only_upscale=True scales up only when min(h, w) < min_side (Charades,
+    extract_charades.py:95-98); only_upscale=False always scales the min
+    side to min_side (ActivityNet/TACoS, extract_activitynet.py:36-38).
+    The [-1, 1] normalization happens on DEVICE inside the jitted trunk —
+    uint8 frames quarter the host->device transfer, which dominates
+    extraction wall-clock on remote TPU links."""
     import cv2
 
     img = cv2.cvtColor(img_bgr, cv2.COLOR_BGR2RGB)
     h, w = img.shape[:2]
-    if min(h, w) != 226:
-        scale = 226.0 / min(h, w)
+    m = min(h, w)
+    if (only_upscale and m < min_side) or (not only_upscale and m != min_side):
+        scale = float(min_side) / m
         img = cv2.resize(img, (int(round(w * scale)), int(round(h * scale))))
     return img  # uint8
 
@@ -224,7 +237,8 @@ def merge_feature_shapes(path, new_shapes):
 
 def extract_videos(video_paths, save_dir, extractor=None, strides=24,
                    fps=24, skip_existing=True, use_ffmpeg=False,
-                   tmp_dir="/tmp/vslnet_extract", verbose=True):
+                   tmp_dir="/tmp/vslnet_extract", verbose=True,
+                   min_side=226, only_upscale=True):
     """Batch-extract features for a list of videos.
 
     Restartable: videos whose .npy already exists are skipped
@@ -244,9 +258,14 @@ def extract_videos(video_paths, save_dir, extractor=None, strides=24,
             # extract_charades.py:114)
             extractor = I3DExtractor(window_size=strides)
         if use_ffmpeg:
-            frames = load_frames_ffmpeg(path, os.path.join(tmp_dir, vid), fps)
+            frames = load_frames_ffmpeg(
+                path, os.path.join(tmp_dir, vid), fps,
+                min_side=min_side, only_upscale=only_upscale,
+            )
         else:
-            frames = load_frames_cv2(path, fps)
+            frames = load_frames_cv2(
+                path, fps, min_side=min_side, only_upscale=only_upscale
+            )
         feats = extractor.extract_video(frames, strides=strides)
         np.save(out_path, feats.astype(np.float32))
         shapes[vid] = int(feats.shape[0])

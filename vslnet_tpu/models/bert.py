@@ -129,6 +129,17 @@ def bert_encoder_from_config(cfg_dict, dtype=jnp.float32):
     )
 
 
+def _ln_leaf(torch_leaf, full_name):
+    """Map torch LayerNorm param names to flax: weight/gamma -> scale,
+    bias/beta -> bias; anything else is an explicit error rather than a
+    silent mis-mapping (old HF dumps use gamma/beta)."""
+    if torch_leaf in ("weight", "gamma"):
+        return "scale"
+    if torch_leaf in ("bias", "beta"):
+        return "bias"
+    raise ValueError("unrecognized LayerNorm param %s" % full_name)
+
+
 def convert_hf_state_dict(state_dict):
     """HF torch BertModel state_dict -> flax params for BertEncoder.
 
@@ -158,8 +169,7 @@ def convert_hf_state_dict(state_dict):
                             "token_type_embeddings"):
                 put((parts[1], "embedding"), a)
             elif parts[1] == "LayerNorm":
-                leaf = "scale" if parts[2] == "weight" else "bias"
-                put(("embeddings_layer_norm", leaf), a)
+                put(("embeddings_layer_norm", _ln_leaf(parts[2], name)), a)
             elif parts[1] == "position_ids":
                 continue
             else:
@@ -179,8 +189,8 @@ def convert_hf_state_dict(state_dict):
                     a = a.T if leaf == "kernel" else a
                     put((layer, "attention_output", leaf), a)
                 else:  # LayerNorm
-                    leaf = "scale" if rest[3] == "weight" else "bias"
-                    put((layer, "attention_layer_norm", leaf), a)
+                    put((layer, "attention_layer_norm",
+                         _ln_leaf(rest[3], name)), a)
             elif rest[0] == "intermediate":
                 leaf = "kernel" if rest[2] == "weight" else "bias"
                 a = a.T if leaf == "kernel" else a
@@ -191,8 +201,8 @@ def convert_hf_state_dict(state_dict):
                     a = a.T if leaf == "kernel" else a
                     put((layer, "output", leaf), a)
                 else:  # LayerNorm
-                    leaf = "scale" if rest[2] == "weight" else "bias"
-                    put((layer, "output_layer_norm", leaf), a)
+                    put((layer, "output_layer_norm",
+                         _ln_leaf(rest[2], name)), a)
             else:
                 raise ValueError("unknown encoder param %s" % name)
             continue

@@ -40,14 +40,17 @@ def set_random_state(seed):
 
 def init_model(model, configs, word_vectors, rng, max_w=8, max_c=8):
     B, T = 2, configs.max_pos_len
-    variables = model.init(
+    # jitted init: eager init dispatches thousands of tiny ops, which is
+    # pathological on remote-TPU links (see CLAUDE.md)
+    init_fn = jax.jit(
+        functools.partial(model.init, drop_rate=0.0, deterministic=True)
+    )
+    variables = init_fn(
         {"params": rng, "dropout": rng},
         jnp.zeros((B, max_w), jnp.int32),
         jnp.zeros((B, max_w, max_c), jnp.int32),
         jnp.zeros((B, T, configs.video_feature_dim), jnp.float32),
         jnp.ones((B,), jnp.int32),
-        drop_rate=0.0,
-        deterministic=True,
     )
     params = variables["params"]
     frozen = {"word_embeddings": {"word_vectors": jnp.asarray(word_vectors)}}
@@ -202,9 +205,12 @@ class Runner:
         if getattr(configs, "word_size", None) is None:
             configs.word_size = dataset["n_words"]  # t7-ref main_t7.py:53
         # multi-host: each process trains on a disjoint slice of the train
-        # records (evaluation stays full on every host)
+        # records (evaluation stays full on every host). Step counts are
+        # derived from the GLOBAL size below so hosts with one fewer record
+        # never desynchronize the pod's collectives.
         from vslnet_tpu.parallel.distributed import host_shard
 
+        global_n_train = len(dataset["train_set"])
         if jax.process_count() > 1:
             dataset = dict(dataset)
             dataset["train_set"] = host_shard(dataset["train_set"])
@@ -242,18 +248,29 @@ class Runner:
         visual_features = VideoBank.wrap(
             visual_features, configs.max_pos_len, configs.video_feature_dim
         )
-        # loaders share static caps so train/eval batches have equal shapes
+        # loaders share static caps derived from ALL splits so no test/val
+        # query is silently truncated below the train split's max
+        from vslnet_tpu.data.loader import _static_caps
+        import math as _math
+
+        max_w, max_c = _static_caps(
+            [dataset["train_set"], dataset.get("val_set"),
+             dataset["test_set"]], configs,
+        )
         self.train_loader = TrainLoader(
-            dataset["train_set"], visual_features, configs
+            dataset["train_set"], visual_features, configs,
+            max_w=max_w, max_c=max_c,
         )
         self.test_loader = TestLoader(
-            dataset, visual_features, configs,
-            max_w=self.train_loader.max_w, max_c=self.train_loader.max_c,
+            dataset, visual_features, configs, max_w=max_w, max_c=max_c,
+        )
+        # global (pre-host-shard) batch count drives the step budget and
+        # eval cadence identically on every host
+        self.num_train_batches = _math.ceil(
+            global_n_train / configs.batch_size
         )
         if configs.num_train_steps is None:
-            configs.num_train_steps = (
-                self.train_loader.num_batches() * configs.epochs
-            )
+            configs.num_train_steps = self.num_train_batches * configs.epochs
         self.model = build_model(configs, dataset["word_vector"].shape)
         params, frozen = init_model(
             self.model, configs, dataset["word_vector"], self.rng,
@@ -312,7 +329,7 @@ class Runner:
         from vslnet_tpu.config import save_config
 
         save_config(configs, self.model_dir)
-        num_train_batches = self.train_loader.num_batches()
+        num_train_batches = self.num_train_batches  # global across hosts
         eval_period = configs.eval_period or max(1, num_train_batches // 2)
         writer = MetricsWriter(self.log_dir, configs.log_to_tensorboard)
         ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
@@ -449,17 +466,14 @@ class Runner:
         ckpt.close()
         return step
 
-    def restore_tf(self, path):
-        """Import a reference TF .ckpt (models/convert_tf.py) — the released
-        ground-truth checkpoints (reference README.md:66-69)."""
-        from vslnet_tpu.models.convert_tf import load_tf_checkpoint
-
-        variables = load_tf_checkpoint(path, predictor=self.configs.predictor)
+    def _install_variables(self, variables, what):
+        """Shape-check imported {'params', 'frozen'} against the live model
+        and place them on the mesh (shared by the tf/t7 import paths)."""
 
         def _check(a, b):
             if a.shape != tuple(b.shape):
                 raise ValueError(
-                    "tf ckpt shape mismatch: %s vs %s" % (a.shape, b.shape)
+                    "%s shape mismatch: %s vs %s" % (what, a.shape, b.shape)
                 )
 
         jax.tree.map(_check, self.params, variables["params"])
@@ -468,6 +482,16 @@ class Runner:
         )
         self.frozen = replicate(
             jax.tree.map(jnp.asarray, variables["frozen"]), self.mesh
+        )
+
+    def restore_tf(self, path):
+        """Import a reference TF .ckpt (models/convert_tf.py) — the released
+        ground-truth checkpoints (reference README.md:66-69)."""
+        from vslnet_tpu.models.convert_tf import load_tf_checkpoint
+
+        self._install_variables(
+            load_tf_checkpoint(path, predictor=self.configs.predictor),
+            "tf ckpt",
         )
         return 0
 
@@ -481,20 +505,9 @@ class Runner:
                 "t7 checkpoints need --cqa_bias true (the torch reference's "
                 "CQA output conv has a bias; the TF graph's does not)"
             )
-        variables = load_t7_checkpoint(path, predictor=self.configs.predictor)
-
-        def _check(a, b):
-            if a.shape != tuple(b.shape):
-                raise ValueError(
-                    "t7 shape mismatch: %s vs %s" % (a.shape, b.shape)
-                )
-
-        jax.tree.map(_check, self.params, variables["params"])
-        self.params = replicate(
-            jax.tree.map(jnp.asarray, variables["params"]), self.mesh
-        )
-        self.frozen = replicate(
-            jax.tree.map(jnp.asarray, variables["frozen"]), self.mesh
+        self._install_variables(
+            load_t7_checkpoint(path, predictor=self.configs.predictor),
+            "t7 ckpt",
         )
         return 0
 
@@ -505,9 +518,13 @@ class Runner:
             raise ValueError("No pre-trained weights exist")
         self.restore()
         r1i3, r1i5, r1i7, mi, *_ = self.evaluate(mode="test")
-        if verbose:
-            print("\nRank@1, IoU=0.3:\t{:.2f}".format(r1i3), flush=True)
-            print("Rank@1, IoU=0.5:\t{:.2f}".format(r1i5), flush=True)
-            print("Rank@1, IoU=0.7:\t{:.2f}".format(r1i7), flush=True)
-            print("{}:\t{:.2f}".format("mean IoU".ljust(15), mi), flush=True)
+        if verbose:  # ANSI-red metric block, reference main.py:133-136
+            print("\n\x1b[1;31mRank@1, IoU=0.3:\t{:.2f}\x1b[0m".format(r1i3),
+                  flush=True)
+            print("\x1b[1;31mRank@1, IoU=0.5:\t{:.2f}\x1b[0m".format(r1i5),
+                  flush=True)
+            print("\x1b[1;31mRank@1, IoU=0.7:\t{:.2f}\x1b[0m".format(r1i7),
+                  flush=True)
+            print("\x1b[1;31m{}:\t{:.2f}\x1b[0m".format(
+                "mean IoU".ljust(15), mi), flush=True)
         return r1i3, r1i5, r1i7, mi
