@@ -14,6 +14,33 @@ from vslnet_tpu.data.features import load_video_features
 from vslnet_tpu.train.runner import Runner
 
 
+def load_or_build_feature_bank(configs):
+    """Video features as a packed VideoBank, cached on disk: the first run
+    loads every <vid>.npy and downsamples (like the reference does EVERY
+    run, util/data_util.py:44-55); later runs mmap the packed bank and
+    start instantly."""
+    from vslnet_tpu.data.loader import VideoBank
+
+    feature_dir = os.path.join(
+        configs.data_root, "features", configs.task, configs.fv
+    )
+    if not configs.feature_cache:
+        return load_video_features(feature_dir, configs.max_pos_len)
+    prefix = os.path.join(
+        configs.save_dir,
+        "_".join([configs.task, configs.fv, str(configs.max_pos_len), "bank"]),
+    )
+    if VideoBank.exists(prefix):
+        return VideoBank.load(prefix, mmap=True)
+    bank = VideoBank.wrap(
+        load_video_features(feature_dir, configs.max_pos_len),
+        configs.max_pos_len, configs.video_feature_dim,
+    )
+    os.makedirs(configs.save_dir, exist_ok=True)
+    bank.save(prefix)
+    return bank
+
+
 def main(argv=None):
     from vslnet_tpu.utils.cache import enable_compilation_cache
 
@@ -46,10 +73,7 @@ def main(argv=None):
 
     dataset = gen_or_load_dataset(configs)
     configs.char_size = dataset["n_chars"]
-    visual_features = load_video_features(
-        os.path.join(configs.data_root, "features", configs.task, configs.fv),
-        configs.max_pos_len,
-    )
+    visual_features = load_or_build_feature_bank(configs)
     runner = Runner(configs, dataset, visual_features)
     print(
         "\x1b[1;33mTotal trainable parameters: {}\x1b[0m".format(runner.n_params()),

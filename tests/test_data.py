@@ -219,3 +219,24 @@ def test_cli_dim_alias():
     assert cfg.hidden_size == 256
     ns = build_parser().parse_args(["--hidden_size", "64"])
     assert namespace_to_config(ns).hidden_size == 64
+
+
+def test_video_bank_roundtrip_and_dict_access(tmp_path):
+    from vslnet_tpu.data.loader import VideoBank
+
+    rng = np.random.default_rng(7)
+    feats = {"a": rng.standard_normal((10, 4)).astype(np.float32),
+             "b": rng.standard_normal((6, 4)).astype(np.float32)}
+    bank = VideoBank(feats, max_pos_len=12, feature_dim=4)
+    assert "a" in bank and "missing" not in bank
+    np.testing.assert_array_equal(bank["a"], feats["a"])
+    np.testing.assert_array_equal(bank["b"], feats["b"])
+    prefix = str(tmp_path / "bank")
+    bank.save(prefix)
+    assert VideoBank.exists(prefix)
+    loaded = VideoBank.load(prefix, mmap=True)
+    np.testing.assert_array_equal(loaded["a"], feats["a"])
+    assert loaded.vid_to_row == bank.vid_to_row
+    np.testing.assert_array_equal(loaded.lengths, bank.lengths)
+    # wrap is idempotent
+    assert VideoBank.wrap(loaded, 12, 4) is loaded

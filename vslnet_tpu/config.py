@@ -58,6 +58,7 @@ class Config:
     cqa_bias: bool = False             # t7-dialect CQA output bias (ckpt import)
     t7_checkpoint: Optional[str] = None  # import a reference torch .t7 ckpt
     tf_checkpoint: Optional[str] = None  # import a reference TF .ckpt
+    feature_cache: bool = True         # packed+mmapped video-feature cache
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint
@@ -94,7 +95,7 @@ def build_parser():
     for field in dataclasses.fields(Config):
         default = field.default
         if field.name in ("use_pallas", "log_to_tensorboard", "resume",
-                          "remat", "cqa_bias"):
+                          "remat", "cqa_bias", "feature_cache"):
             parser.add_argument(
                 "--" + field.name,
                 type=lambda s: s.lower() in ("1", "true", "yes"),

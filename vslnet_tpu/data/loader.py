@@ -56,11 +56,56 @@ class VideoBank:
             self.lengths[row] = L
             self.vid_to_row[vid] = row
 
+    # dict-like access (serving / predict path)
+    def __contains__(self, vid):
+        return vid in self.vid_to_row
+
+    def __getitem__(self, vid):
+        row = self.vid_to_row[vid]
+        return np.asarray(self.bank[row, : self.lengths[row]])
+
+    def __len__(self):
+        return len(self.vid_to_row)
+
     @classmethod
     def wrap(cls, visual_features, max_pos_len, feature_dim):
         if isinstance(visual_features, cls):
             return visual_features
         return cls(visual_features, max_pos_len, feature_dim)
+
+    def save(self, prefix):
+        """Persist as <prefix>.npy (bank) + <prefix>.json (vids/lengths)."""
+        import json
+
+        np.save(prefix + ".npy", self.bank)
+        order = sorted(self.vid_to_row, key=self.vid_to_row.get)
+        with open(prefix + ".json", "w", encoding="utf-8") as f:
+            json.dump(
+                {"vids": order, "lengths": self.lengths.tolist()}, f
+            )
+
+    @classmethod
+    def load(cls, prefix, mmap=True):
+        """Load a persisted bank; mmap=True maps the array so startup is
+        instant and the OS page cache manages residency (the reference
+        re-reads and re-downsamples every per-vid .npy on every run,
+        util/data_util.py:44-55)."""
+        import json
+
+        bank = cls.__new__(cls)
+        bank.bank = np.load(prefix + ".npy", mmap_mode="r" if mmap else None)
+        with open(prefix + ".json", encoding="utf-8") as f:
+            meta = json.load(f)
+        bank.vid_to_row = {v: i for i, v in enumerate(meta["vids"])}
+        bank.lengths = np.asarray(meta["lengths"], np.int32)
+        return bank
+
+    @classmethod
+    def exists(cls, prefix):
+        import os
+
+        return os.path.exists(prefix + ".npy") and os.path.exists(
+            prefix + ".json")
 
 
 def make_highlight_labels(s_ind, e_ind, v_len, max_len, extend):
