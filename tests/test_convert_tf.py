@@ -204,8 +204,12 @@ def test_training_dynamics_match_tf_reference():
                             vfeats=vfeats, v_len=v_len, y1=y1, y2=y2, h=h))
 
     tf_losses = []
+    # single-threaded session: oneDNN multi-thread reductions are
+    # nondeterministic run to run, which Adam's sign-like updates amplify
+    sess_cfg = tf1.ConfigProto(intra_op_parallelism_threads=1,
+                               inter_op_parallelism_threads=1)
     with graph.as_default():
-        with tf1.Session(graph=graph) as sess:
+        with tf1.Session(graph=graph, config=sess_cfg) as sess:
             sess.run(tf1.global_variables_initializer())
             var_values = {
                 v.name.split(":")[0]: sess.run(v)
@@ -299,6 +303,8 @@ def test_training_dynamics_match_tf_reference():
         if path[-1] == "bias" and tf_node.ndim == 3:
             tf_node = tf_node.reshape(-1)
         np.testing.assert_allclose(
-            np.asarray(node), tf_node, atol=1e-4,
+            # after 3 Adam steps, fp noise in near-zero gradients flips a
+            # few update signs (~lr-sized); losses above are the tight check
+            np.asarray(node), tf_node, atol=1e-3,
             err_msg="param %s diverged" % "/".join(path),
         )
