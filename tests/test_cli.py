@@ -1,0 +1,121 @@
+"""In-process CLI tests: the full `main.py` surface (train / test / predict,
+config reload, error paths) on a fabricated miniature real-format data root
+(real annotation syntax, tiny GloVe, synthetic features)."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import main as cli
+
+
+@pytest.fixture(scope="module")
+def data_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vsl_data")
+    ddir = root / "dataset" / "charades"
+    fdir = root / "features" / "charades" / "new"
+    ddir.mkdir(parents=True)
+    fdir.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    vids = ["VID%02d" % i for i in range(6)]
+    durations = {v: 20.0 + i for i, v in enumerate(vids)}
+    sentences = [
+        "a person opens the door .", "someone closes a book .",
+        "a person sits on the couch .", "a person eats a sandwich .",
+    ]
+    lines = []
+    for i in range(24):
+        v = vids[i % len(vids)]
+        d = durations[v]
+        s = round(rng.uniform(0, d / 2), 1)
+        e = round(rng.uniform(s + 1, d), 1)
+        lines.append("%s %.1f %.1f##%s" % (v, s, e, sentences[i % 4]))
+    (ddir / "charades_sta_train.txt").write_text("\n".join(lines[:16]))
+    (ddir / "charades_sta_test.txt").write_text("\n".join(lines[16:]))
+    (ddir / "charades.json").write_text(
+        json.dumps({v: {"duration": durations[v]} for v in vids})
+    )
+    shapes = {}
+    D = 16
+    for v in vids:
+        n = int(rng.integers(10, 30))
+        np.save(fdir / (v + ".npy"),
+                rng.standard_normal((n, D)).astype(np.float32))
+        shapes[v] = n
+    (fdir / "feature_shapes.json").write_text(json.dumps(shapes))
+    words = set()
+    for s in sentences:
+        words |= set(s.split())
+    with open(root / "features" / "glove.840B.300d.txt", "w") as f:
+        for w in sorted(words):
+            f.write(w + " " + " ".join(
+                "%.4f" % x for x in rng.standard_normal(300)) + "\n")
+    return root
+
+
+def _args(data_root, workdir, *extra):
+    return [
+        "--task", "charades", "--predictor", "rnn",
+        "--data_root", str(data_root),
+        "--save_dir", str(workdir / "datasets"),
+        "--model_dir", str(workdir / "ckpt"),
+        "--batch_size", "8", "--max_pos_len", "16",
+        "--video_feature_dim", "16", "--hidden_size", "16",
+        "--char_dim", "4", "--num_heads", "4",
+        "--epochs", "1", "--period", "2",
+        "--log_to_tensorboard", "false",
+    ] + list(extra)
+
+
+def test_cli_train_then_test_then_predict(tmp_path, data_root, capsys):
+    cli.main(_args(data_root, tmp_path, "--mode", "train"))
+    model_dir = tmp_path / "ckpt" / "vslnet_charades_new_16_rnn" / "model"
+    assert (model_dir / "configs.json").exists()
+    assert (model_dir / "eval_results.txt").exists()
+    # feature bank cache materialized
+    assert (tmp_path / "datasets" / "charades_new_16_bank.npy").exists()
+
+    cli.main(_args(data_root, tmp_path, "--mode", "test"))
+    out = capsys.readouterr().out
+    assert "Rank@1, IoU=0.7" in out and "mean IoU" in out
+
+    cli.main(_args(data_root, tmp_path, "--mode", "predict",
+                   "--vid", "VID01", "--query", "a person opens the door"))
+    out = capsys.readouterr().out
+    pred = json.loads(out.strip().splitlines()[-1])
+    assert pred["vid"] == "VID01"
+    assert 0.0 <= pred["start"] <= pred["end"] <= 21.0 + 1e-6
+
+
+def test_cli_unknown_task_and_mode(tmp_path):
+    with pytest.raises(ValueError, match="Unknown task"):
+        cli.main(_args(tmp_path / "d", tmp_path, "--mode", "train",
+                       "--task", "bogus"))
+    with pytest.raises(ValueError, match="No pre-trained weights"):
+        cli.main(_args(tmp_path / "d", tmp_path, "--mode", "test"))
+
+
+def test_cli_predict_requires_query(tmp_path, data_root):
+    cli.main(_args(data_root, tmp_path, "--mode", "train"))
+    with pytest.raises(ValueError, match="requires --query"):
+        cli.main(_args(data_root, tmp_path, "--mode", "predict"))
+    with pytest.raises(ValueError, match="No features for video"):
+        cli.main(_args(data_root, tmp_path, "--mode", "predict",
+                       "--vid", "NOPE", "--query", "x"))
+
+
+def test_cli_test_mode_reloads_saved_config(tmp_path, data_root):
+    cli.main(_args(data_root, tmp_path, "--mode", "train"))
+    model_dir = tmp_path / "ckpt" / "vslnet_charades_new_16_rnn" / "model"
+    saved = json.loads((model_dir / "configs.json").read_text())
+    assert saved["hidden_size"] == 16 and saved["mode"] == "train"
+    # test mode must reload hidden_size etc. from configs.json even though
+    # the CLI default differs (reference main.py:120-123)
+    cli.main([
+        "--task", "charades", "--predictor", "rnn", "--mode", "test",
+        "--data_root", str(data_root),
+        "--save_dir", str(tmp_path / "datasets"),
+        "--model_dir", str(tmp_path / "ckpt"),
+        "--max_pos_len", "16",
+    ])
