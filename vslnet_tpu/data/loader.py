@@ -201,10 +201,13 @@ class _EncodedSplit:
 
 
 class TrainLoader:
-    def __init__(self, dataset, visual_features, configs, max_w=None, max_c=None):
+    def __init__(self, dataset, visual_features, configs, max_w=None,
+                 max_c=None, batch_size=None):
         if max_w is None or max_c is None:
             max_w, max_c = _static_caps([dataset], configs)
-        self.batch_size = configs.batch_size
+        # batch_size override: multi-host runs pass the per-process share
+        # B/P of the global batch
+        self.batch_size = batch_size or configs.batch_size
         self.split = _EncodedSplit(
             dataset, visual_features, configs, max_w, max_c, train=True
         )

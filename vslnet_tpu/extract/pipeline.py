@@ -173,6 +173,11 @@ class I3DExtractor:
             # construction stays cheap on fully-resumed extraction runs.
             # jit the init: eager init dispatches thousands of tiny ops,
             # which is pathological over remote-TPU links.
+            print(
+                "WARNING: I3DExtractor running with RANDOM weights — "
+                "features are smoke-test garbage; pass `variables=` "
+                "(load_torch_checkpoint) for real extraction", flush=True,
+            )
             dummy = jnp.zeros(
                 (1, self.window_size, self.crop_size, self.crop_size, 3),
                 jnp.float32,

@@ -20,8 +20,11 @@ class RandomCrop:
         th, tw = output_size
         if w == tw and h == th:
             return 0, 0, h, w
-        i = np.random.randint(0, h - th) if h != th else 0
-        j = np.random.randint(0, w - tw) if w != tw else 0
+        # reference uses random.randint (inclusive upper bound): the maximal
+        # offset h-th must be reachable, hence the +1 with numpy's exclusive
+        # randint
+        i = np.random.randint(0, h - th + 1) if h != th else 0
+        j = np.random.randint(0, w - tw + 1) if w != tw else 0
         return i, j, th, tw
 
     def __call__(self, imgs):

@@ -62,9 +62,21 @@ def shard_batch(batch, mesh):
     """Place each batch leaf: leading dim on 'data'; video-time second dim
     additionally on 'seq' when the mesh has one. Batch size must divide by
     the data-axis size (loaders produce fixed-B batches) and max_pos_len by
-    the seq-axis size."""
+    the seq-axis size.
+
+    Single-process: one async device_put per leaf. Multi-process: each host
+    supplies its local B/P rows and the global [B] array is assembled with
+    jax.make_array_from_process_local_data (the host's rows land on its own
+    addressable devices; nothing is silently dropped)."""
+    if jax.process_count() == 1:
+        return {
+            k: jax.device_put(v, NamedSharding(mesh, _spec_for(k, mesh)))
+            for k, v in batch.items()
+        }
     return {
-        k: jax.device_put(v, NamedSharding(mesh, _spec_for(k, mesh)))
+        k: jax.make_array_from_process_local_data(
+            NamedSharding(mesh, _spec_for(k, mesh)), v
+        )
         for k, v in batch.items()
     }
 

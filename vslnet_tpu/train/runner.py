@@ -204,16 +204,7 @@ class Runner:
             configs.char_size = dataset["n_chars"]
         if getattr(configs, "word_size", None) is None:
             configs.word_size = dataset["n_words"]  # t7-ref main_t7.py:53
-        # multi-host: each process trains on a disjoint slice of the train
-        # records (evaluation stays full on every host). Step counts are
-        # derived from the GLOBAL size below so hosts with one fewer record
-        # never desynchronize the pod's collectives.
-        from vslnet_tpu.parallel.distributed import host_shard
-
         global_n_train = len(dataset["train_set"])
-        if jax.process_count() > 1:
-            dataset = dict(dataset)
-            dataset["train_set"] = host_shard(dataset["train_set"])
         if configs.text_encoder == "bert" and configs.bert_path:
             import json as _json
 
@@ -248,8 +239,9 @@ class Runner:
         visual_features = VideoBank.wrap(
             visual_features, configs.max_pos_len, configs.video_feature_dim
         )
-        # loaders share static caps derived from ALL splits so no test/val
-        # query is silently truncated below the train split's max
+        # loaders share static caps derived from ALL splits — BEFORE any
+        # host sharding — so no test/val query is silently truncated and
+        # every host compiles identical program shapes
         from vslnet_tpu.data.loader import _static_caps
         import math as _math
 
@@ -257,9 +249,27 @@ class Runner:
             [dataset["train_set"], dataset.get("val_set"),
              dataset["test_set"]], configs,
         )
+        # multi-host: each process trains on a disjoint slice of the train
+        # records, assembling B/P local rows of the global [B] batch
+        # (parallel/mesh.py builds the global array across processes);
+        # evaluation runs the FULL test set on a host-local mesh so every
+        # host computes identical metrics without cross-host gathers
+        from vslnet_tpu.parallel.distributed import host_shard
+
+        train_records = dataset["train_set"]
+        local_batch_size = configs.batch_size
+        if jax.process_count() > 1:
+            P = jax.process_count()
+            if configs.batch_size % P:
+                raise ValueError(
+                    "batch_size %d must divide by process count %d"
+                    % (configs.batch_size, P)
+                )
+            local_batch_size = configs.batch_size // P
+            train_records = host_shard(train_records)
         self.train_loader = TrainLoader(
-            dataset["train_set"], visual_features, configs,
-            max_w=max_w, max_c=max_c,
+            train_records, visual_features, configs,
+            max_w=max_w, max_c=max_c, batch_size=local_batch_size,
         )
         self.test_loader = TestLoader(
             dataset, visual_features, configs, max_w=max_w, max_c=max_c,
@@ -305,6 +315,19 @@ class Runner:
         self.eval_step = make_eval_step(
             self.model, use_pallas=bool(configs.use_pallas)
         )
+        # evaluation mesh: host-local on multi-host runs (every host runs
+        # the full test set independently — identical metrics, no cross-host
+        # gathers, and outputs stay addressable for np.asarray)
+        if jax.process_count() > 1:
+            local = jax.local_devices()
+            dp_eval = 1
+            for d in range(len(local), 0, -1):
+                if configs.batch_size % d == 0:
+                    dp_eval = d
+                    break
+            self.eval_mesh = make_mesh(dp_eval, devices=local)
+        else:
+            self.eval_mesh = self.mesh
         self.home_dir = configs.home_dir()
         self.model_dir = os.path.join(self.home_dir, "model")
         self.log_dir = os.path.join(self.home_dir, "event")
@@ -313,9 +336,17 @@ class Runner:
         return count_params(self.params)
 
     def evaluate(self, mode="test", epoch=None, global_step=None):
+        if self.eval_mesh is self.mesh:
+            params, frozen = self.params, self.frozen
+        else:
+            # multi-host: pull the (fully replicated) params to host and
+            # re-place them on the local eval mesh
+            params = replicate(jax.device_get(self.params), self.eval_mesh)
+            frozen = replicate(jax.device_get(self.frozen), self.eval_mesh)
         return eval_test(
-            self.eval_step, self.params, self.frozen, self.test_loader,
-            mesh=self.mesh, epoch=epoch, global_step=global_step, mode=mode,
+            self.eval_step, params, frozen, self.test_loader,
+            mesh=self.eval_mesh, epoch=epoch, global_step=global_step,
+            mode=mode,
         )
 
     def train(self, verbose=True, resume=False):
@@ -331,7 +362,8 @@ class Runner:
         save_config(configs, self.model_dir)
         num_train_batches = self.num_train_batches  # global across hosts
         eval_period = configs.eval_period or max(1, num_train_batches // 2)
-        writer = MetricsWriter(self.log_dir, configs.log_to_tensorboard)
+        writer = MetricsWriter(self.log_dir, configs.log_to_tensorboard,
+                               append=resume)
         ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
         best_r1i7 = -1.0
         global_step = 0

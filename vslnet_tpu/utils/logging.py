@@ -10,9 +10,13 @@ import time
 
 
 class MetricsWriter:
-    def __init__(self, log_dir, use_tensorboard=True):
+    def __init__(self, log_dir, use_tensorboard=True, append=False):
+        """append=True only for resumed runs; a fresh run truncates so the
+        JSONL never interleaves steps from different runs."""
         os.makedirs(log_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+        self._jsonl = open(
+            os.path.join(log_dir, "metrics.jsonl"), "a" if append else "w"
+        )
         self._tb = None
         if use_tensorboard:
             try:
