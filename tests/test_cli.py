@@ -119,3 +119,69 @@ def test_cli_test_mode_reloads_saved_config(tmp_path, data_root):
         "--model_dir", str(tmp_path / "ckpt"),
         "--max_pos_len", "16",
     ])
+
+
+@pytest.fixture(scope="module")
+def tacos_root(tmp_path_factory):
+    """Fabricated TACoS-format data root (frame timestamps + fps)."""
+    root = tmp_path_factory.mktemp("tacos_data")
+    ddir = root / "dataset" / "tacos"
+    fdir = root / "features" / "tacos" / "new"
+    ddir.mkdir(parents=True)
+    fdir.mkdir(parents=True)
+    rng = np.random.default_rng(1)
+    sentences = ["the person washes the dish .", "someone cuts a cucumber ."]
+
+    def split(vids, n_per):
+        data = {}
+        for v in vids:
+            fps, num_frames = 29.4, 3000
+            ts, ss = [], []
+            for i in range(n_per):
+                a = int(rng.integers(0, 2000))
+                b = int(rng.integers(a + 30, 2999))
+                ts.append([a, b])
+                ss.append(sentences[i % 2])
+            data[v + ".avi"] = {"fps": fps, "num_frames": num_frames,
+                                "timestamps": ts, "sentences": ss}
+        return data
+
+    (ddir / "train.json").write_text(json.dumps(split(["s13-d21"], 8)))
+    (ddir / "val.json").write_text(json.dumps(split(["s14-d22"], 4)))
+    (ddir / "test.json").write_text(json.dumps(split(["s15-d23"], 4)))
+    shapes = {}
+    for v in ("s13-d21", "s14-d22", "s15-d23"):
+        n = int(rng.integers(20, 40))
+        np.save(fdir / (v + ".npy"),
+                rng.standard_normal((n, 16)).astype(np.float32))
+        shapes[v] = n
+    (fdir / "feature_shapes.json").write_text(json.dumps(shapes))
+    words = set()
+    for s in sentences:
+        words |= set(s.split())
+    with open(root / "features" / "glove.840B.300d.txt", "w") as f:
+        for w in sorted(words):
+            f.write(w + " " + " ".join(
+                "%.4f" % x for x in rng.standard_normal(300)) + "\n")
+    return root
+
+
+def test_cli_tacos_train_and_test(tmp_path, tacos_root, capsys):
+    """TACoS end to end through the CLI: frame->seconds conversion, .avi
+    stripping, val+test splits, dataset cache."""
+    args = [
+        "--task", "tacos", "--predictor", "transformer", "--mode", "train",
+        "--data_root", str(tacos_root),
+        "--save_dir", str(tmp_path / "datasets"),
+        "--model_dir", str(tmp_path / "ckpt"),
+        "--batch_size", "8", "--max_pos_len", "16",
+        "--video_feature_dim", "16", "--hidden_size", "16",
+        "--char_dim", "4", "--num_heads", "4",
+        "--epochs", "1", "--period", "2",
+        "--log_to_tensorboard", "false",
+    ]
+    cli.main(args)
+    assert (tmp_path / "datasets" / "tacos_new_16.pkl").exists()
+    cli.main([a if a != "train" else "test" for a in args])
+    out = capsys.readouterr().out
+    assert "Rank@1, IoU=0.7" in out
