@@ -185,3 +185,62 @@ def test_cli_tacos_train_and_test(tmp_path, tacos_root, capsys):
     cli.main([a if a != "train" else "test" for a in args])
     out = capsys.readouterr().out
     assert "Rank@1, IoU=0.7" in out
+
+
+def test_cli_activitynet_split_mapping(tmp_path, capsys):
+    """ActivityNet through the CLI: train.json/val_2.json(->val)/
+    val_1.json(->test) mapping and per-sentence record expansion."""
+    root = tmp_path / "anet_data"
+    ddir = root / "dataset" / "activitynet"
+    fdir = root / "features" / "activitynet" / "new"
+    ddir.mkdir(parents=True)
+    fdir.mkdir(parents=True)
+    rng = np.random.default_rng(2)
+    sentences = ["a man runs across the field .", "people clap loudly ."]
+
+    def split(vids, n_per):
+        return {
+            v: {
+                "duration": 60.0,
+                "timestamps": [[float(rng.integers(0, 30)),
+                                float(rng.integers(31, 60))]
+                               for _ in range(n_per)],
+                "sentences": [sentences[i % 2] for i in range(n_per)],
+            }
+            for v in vids
+        }
+
+    (ddir / "train.json").write_text(json.dumps(split(["v_aaa", "v_bbb"], 5)))
+    (ddir / "val_2.json").write_text(json.dumps(split(["v_ccc"], 4)))
+    (ddir / "val_1.json").write_text(json.dumps(split(["v_ddd"], 4)))
+    shapes = {}
+    for v in ("v_aaa", "v_bbb", "v_ccc", "v_ddd"):
+        n = int(rng.integers(20, 40))
+        np.save(fdir / (v + ".npy"),
+                rng.standard_normal((n, 16)).astype(np.float32))
+        shapes[v] = n
+    (fdir / "feature_shapes.json").write_text(json.dumps(shapes))
+    words = set()
+    for s in sentences:
+        words |= set(s.split())
+    with open(root / "features" / "glove.840B.300d.txt", "w") as f:
+        for w in sorted(words):
+            f.write(w + " " + " ".join(
+                "%.4f" % x for x in rng.standard_normal(300)) + "\n")
+
+    cli.main([
+        "--task", "activitynet", "--predictor", "rnn", "--mode", "train",
+        "--data_root", str(root),
+        "--save_dir", str(tmp_path / "datasets"),
+        "--model_dir", str(tmp_path / "ckpt"),
+        "--batch_size", "8", "--max_pos_len", "16",
+        "--video_feature_dim", "16", "--hidden_size", "16",
+        "--char_dim", "4", "--num_heads", "4",
+        "--epochs", "1", "--period", "2",
+        "--log_to_tensorboard", "false",
+    ])
+    import pickle
+    ds = pickle.load(open(tmp_path / "datasets" / "activitynet_new_16.pkl",
+                          "rb"))
+    assert ds["n_train"] == 10  # 2 vids x 5 sentences
+    assert ds["n_val"] == 4 and ds["n_test"] == 4  # val_2 -> val, val_1 -> test
