@@ -244,3 +244,24 @@ def test_cli_activitynet_split_mapping(tmp_path, capsys):
                           "rb"))
     assert ds["n_train"] == 10  # 2 vids x 5 sentences
     assert ds["n_val"] == 4 and ds["n_test"] == 4  # val_2 -> val, val_1 -> test
+
+
+def test_cli_eval_split_val(tmp_path, tacos_root, capsys):
+    """--eval_split val evaluates the validation split (TACoS has one)."""
+    args = [
+        "--task", "tacos", "--predictor", "rnn", "--mode", "train",
+        "--data_root", str(tacos_root),
+        "--save_dir", str(tmp_path / "datasets"),
+        "--model_dir", str(tmp_path / "ckpt"),
+        "--batch_size", "8", "--max_pos_len", "16",
+        "--video_feature_dim", "16", "--hidden_size", "16",
+        "--char_dim", "4", "--num_heads", "4",
+        "--epochs", "1", "--period", "2",
+        "--log_to_tensorboard", "false",
+    ]
+    cli.main(args)
+    capsys.readouterr()
+    cli.main([a if a != "train" else "test" for a in args]
+             + ["--eval_split", "val"])
+    out = capsys.readouterr().out
+    assert "Rank@1, IoU=0.7" in out

@@ -59,6 +59,7 @@ class Config:
     t7_checkpoint: Optional[str] = None  # import a reference torch .t7 ckpt
     tf_checkpoint: Optional[str] = None  # import a reference TF .ckpt
     feature_cache: bool = True         # packed+mmapped video-feature cache
+    eval_split: str = "test"           # [test | val] split for --mode test
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint

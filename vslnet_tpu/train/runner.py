@@ -549,7 +549,10 @@ class Runner:
                 and not os.path.exists(self.model_dir)):
             raise ValueError("No pre-trained weights exist")
         self.restore()
-        r1i3, r1i5, r1i7, mi, *_ = self.evaluate(mode="test")
+        # --eval_split val evaluates the validation split where one exists
+        # (reference eval_test supports both, util/runner_utils.py:60)
+        split = getattr(self.configs, "eval_split", "test") or "test"
+        r1i3, r1i5, r1i7, mi, *_ = self.evaluate(mode=split)
         if verbose:  # ANSI-red metric block, reference main.py:133-136
             print("\n\x1b[1;31mRank@1, IoU=0.3:\t{:.2f}\x1b[0m".format(r1i3),
                   flush=True)
