@@ -176,3 +176,32 @@ def test_distributed_initialize_noop_single_process():
 
     assert initialize() is False  # no coordinator configured -> no-op
     assert process_count() == 1
+
+
+def test_graft_entry_multichip_from_one_device_env():
+    """Drive dryrun_multichip exactly the way the driver does: a clean
+    subprocess whose backend exposes ONE device (no conftest device
+    forcing). The function must self-provision the 8-device virtual mesh
+    (round-1 regression: MULTICHIP_r01.json rc=1)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )  # -> backend defaults to 1 CPU device, like the driver's 1 TPU chip
+    code = (
+        "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+        "import __graft_entry__ as ge; ge.dryrun_multichip(8)"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "dryrun_multichip(8)" in proc.stdout
