@@ -448,11 +448,17 @@ class LSTMEncoder(nn.Module):
     """Unidirectional LSTM over T with TF LSTMCell semantics (:245-249):
     gate order [i, j, f, o], forget_bias 1.0, no peepholes; outputs zeroed and
     state frozen past each row's seq_len (tf.nn.dynamic_rnn behavior).
-    Implemented as a lax.scan over time — static trip count, TPU-compatible.
+
+    TPU layout: the input projection x·W_x for ALL timesteps is hoisted out
+    of the recurrence as one [B,T,in]x[in,4H] MXU matmul; the lax.scan body
+    keeps only the [B,H]x[H,4H] hidden-state matmul plus elementwise gates.
+    Identical math (concat([x,h])·W == x·W_x + h·W_h), single `kernel`
+    param of shape [in+dim, 4dim] so checkpoint import is unchanged.
     """
 
     dim: int
     dtype: Dtype = jnp.float32
+    unroll: int = 8  # scan unroll factor: amortizes TPU loop overhead
 
     @nn.compact
     def __call__(self, x, seq_len):
@@ -461,33 +467,43 @@ class LSTMEncoder(nn.Module):
             "kernel", glorot(), (in_dim + self.dim, 4 * self.dim), jnp.float32
         )
         bias = self.param("bias", zeros_init, (4 * self.dim,), jnp.float32)
-        k = kernel.astype(self.dtype)
+        k_x = kernel[:in_dim].astype(self.dtype)
+        k_h = kernel[in_dim:].astype(self.dtype)
         b = bias.astype(self.dtype)
-        xs = jnp.swapaxes(x, 0, 1)  # [T, B, in]
+        # [B, T, 4H]: the whole input projection in one batched matmul
+        x_proj = jnp.dot(
+            x, k_x,
+            preferred_element_type=self.dtype,
+            precision=dot_precision(self.dtype),
+        ) + b
+        xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
+        valid_ts = jnp.swapaxes(
+            (jnp.arange(T, dtype=jnp.int32)[None, :] < seq_len[:, None])
+            .astype(self.dtype)[..., None], 0, 1
+        )  # [T, B, 1]
 
         def step(carry, inp):
-            c, h, t = carry
-            x_t = inp
-            gates = jnp.dot(
-                jnp.concatenate([x_t, h], axis=-1), k,
+            c, h = carry
+            x_t, valid = inp
+            gates = x_t + jnp.dot(
+                h, k_h,
                 preferred_element_type=self.dtype,
                 precision=dot_precision(self.dtype),
-            ) + b
+            )
             i, j, f, o = jnp.split(gates, 4, axis=-1)
             new_c = c * jax.nn.sigmoid(f + 1.0) + jax.nn.sigmoid(i) * jnp.tanh(j)
             new_h = jnp.tanh(new_c) * jax.nn.sigmoid(o)
-            valid = (t < seq_len)[:, None].astype(self.dtype)
             c = valid * new_c + (1.0 - valid) * c
             h_out = valid * new_h
             h = valid * new_h + (1.0 - valid) * h
-            return (c, h, t + 1), h_out
+            return (c, h), h_out
 
         init = (
             jnp.zeros((B, self.dim), self.dtype),
             jnp.zeros((B, self.dim), self.dtype),
-            jnp.zeros((), jnp.int32),
         )
-        _, ys = jax.lax.scan(step, init, xs)
+        _, ys = jax.lax.scan(step, init, (xs, valid_ts),
+                             unroll=min(self.unroll, T))
         return jnp.swapaxes(ys, 0, 1)  # [B, T, dim]
 
 
