@@ -205,3 +205,43 @@ def test_graft_entry_multichip_from_one_device_env():
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "dryrun_multichip(8)" in proc.stdout
+
+
+def test_two_process_multihost_smoke(tmp_path):
+    """Closest-possible pod shakeout in a 1-chip environment: two real
+    processes x 4 CPU devices each, gloo collectives, one global 8-device
+    mesh. Exercises jax.distributed.initialize, host_shard, the
+    make_array_from_process_local_data branch of shard_batch, and the
+    host-local eval mesh — all unreachable from a single process. Both
+    hosts must report identical loss + eval metrics."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(repo, "tests", "multihost_worker.py")
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        coord = "127.0.0.1:%d" % s.getsockname()[1]
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets jax_num_cpu_devices itself
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coord, str(pid), str(tmp_path)],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in (0, 1)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out
+    results = sorted(
+        line for out in outs for line in out.splitlines()
+        if line.startswith("RESULT")
+    )
+    assert len(results) == 2, outs
+    # identical global loss and metrics on both hosts (strip the pid field)
+    payloads = {r.split("loss=", 1)[1] for r in results}
+    assert len(payloads) == 1, results
