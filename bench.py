@@ -1,19 +1,34 @@
 """Benchmark: VSLNet train throughput on the reference run shape.
 
 Workload = the reference's headline training config (BASELINE.md): Charades
-shape — batch 16, T=128 clips, 1024-d I3D features, hidden 128, 8 heads,
-transformer predictor — full train step (fwd + bwd + AdamW + clip) on
-synthetic data (real features are not distributed with the repo).
+shape — batch 16, T=128 clips, 1024-d I3D features, hidden 128, 8 heads —
+full train step (fwd + bwd + AdamW + clip) on synthetic data (real features
+are not distributed with the repo), measured for BOTH predictor heads:
 
-Prints ONE JSON line:
-    {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
-     "vs_baseline": N / 20.0}
+- `transformer` (the README-recommended head)
+- `rnn` (the reference CLI default, main.py:26 — lax.scan LSTM with the
+  input projection hoisted onto the MXU, models/layers.py)
+
+and in TWO regimes:
+
+- `device`: pre-sharded device batches — pure chip throughput
+- `end_to_end`: through TrainLoader.batch_iter + prefetch_to_device, i.e.
+  the same host pipeline the real train loop pays (train/runner.py)
+
+Prints ONE JSON line. Headline `value` = transformer device steps/s
+(median of 3 windows) for round-over-round comparability; the full
+breakdown (spread, e2e, rnn, examples/s, MFU) rides along as extra keys.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
-BASELINE.json's north star is >=5x V100 steps/s; a V100 running the
-reference TF graph at this shape sustains ~20 steps/s (feed_dict-bound,
-~1-5M params), so vs_baseline is steps_per_sec / 20.0 and the 5x target
+`vs_baseline` divides by an ESTIMATED 20 steps/s for the reference TF
+graph on a V100 at this shape (feed_dict-bound, ~1-5M params) — marked as
+an estimate in `baseline_note`; the BASELINE.json 5x north star
 corresponds to vs_baseline >= 5.
+
+MFU: analytic — XLA's own cost model (compiled.cost_analysis()['flops'])
+divided by wall time and the v5e bf16 peak of 197 TFLOP/s. This model is
+dispatch-bound at 0.7M params (<1% MFU is expected and honest); see
+README's scaling table for configurations that saturate the chip.
 """
 import json
 import time
@@ -21,17 +36,29 @@ import time
 import jax
 import numpy as np
 
-V100_REFERENCE_STEPS_PER_SEC = 20.0
+V100_REFERENCE_STEPS_PER_SEC = 20.0  # estimate, not measured
+V5E_BF16_PEAK_FLOPS = 197e12
 
 
-def main():
-    from vslnet_tpu.utils.cache import enable_compilation_cache
+def _time_windows(step_fn, n_windows=3, n_steps=100):
+    rates = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        out = step_fn(n_steps)
+        jax.block_until_ready(out)
+        rates.append(n_steps / (time.perf_counter() - t0))
+    return {
+        "median": round(float(np.median(rates)), 2),
+        "min": round(float(min(rates)), 2),
+        "max": round(float(max(rates)), 2),
+    }
 
-    enable_compilation_cache()
+
+def bench_predictor(predictor):
     from vslnet_tpu.config import Config
-    from vslnet_tpu.parallel.mesh import make_mesh, shard_batch
     from vslnet_tpu.data.synthetic import synthetic_dataset
-    from vslnet_tpu.train.runner import Runner
+    from vslnet_tpu.parallel.mesh import make_mesh, shard_batch
+    from vslnet_tpu.train.runner import Runner, prefetch_to_device
 
     configs = Config(
         batch_size=16,
@@ -39,7 +66,7 @@ def main():
         video_feature_dim=1024,
         hidden_size=128,
         num_heads=8,
-        predictor="transformer",
+        predictor=predictor,
         precision="bf16",
         epochs=1,
         log_to_tensorboard=False,
@@ -56,36 +83,90 @@ def main():
         shard_batch(b, mesh) for _, b in runner.train_loader.batch_iter()
     ]
 
-    params, frozen, opt_state = runner.params, runner.frozen, runner.opt_state
-    # warmup / compile
-    for i in range(5):
-        params, opt_state, m = runner.train_step(
-            params, frozen, opt_state, batches[i % len(batches)], runner.rng, i
-        )
-    jax.block_until_ready(params)
+    state = {
+        "params": runner.params,
+        "opt": runner.opt_state,
+        "m": None,
+    }
 
-    # median of 3 windows: the TPU may sit behind a shared link, so a single
-    # window can catch transient congestion
-    rates = []
-    for _ in range(3):
-        n_steps = 100
-        t0 = time.perf_counter()
+    def run_device(n_steps):
         for i in range(n_steps):
-            params, opt_state, m = runner.train_step(
-                params, frozen, opt_state, batches[i % len(batches)],
-                runner.rng, i,
+            state["params"], state["opt"], state["m"] = runner.train_step(
+                state["params"], runner.frozen, state["opt"],
+                batches[i % len(batches)], runner.rng, i,
             )
-        jax.block_until_ready(params)
-        rates.append(n_steps / (time.perf_counter() - t0))
-    steps_per_sec = float(np.median(rates))
-    assert np.isfinite(float(m["loss"]))
+        return state["params"]
+
+    # warmup / compile
+    run_device(5)
+    jax.block_until_ready(state["params"])
+
+    # XLA's own FLOP count for one train step (fwd+bwd+AdamW)
+    try:
+        lowered = runner._train_step.lower(
+            state["params"], runner.frozen, state["opt"], batches[0],
+            runner.rng, 0, bank=runner.device_bank,
+        )
+        flops_per_step = float(lowered.compile().cost_analysis()["flops"])
+    except Exception:
+        flops_per_step = float("nan")
+
+    device = _time_windows(run_device)
+
+    def run_e2e(n_steps):
+        # the REAL loop: per-epoch shuffle + gather/pad on host + async H2D
+        # prefetch + device step (mirrors Runner.train, runner.py)
+        done = 0
+        while done < n_steps:
+            it = prefetch_to_device(runner.train_loader.batch_iter(), mesh)
+            for _, batch in it:
+                state["params"], state["opt"], state["m"] = runner.train_step(
+                    state["params"], runner.frozen, state["opt"], batch,
+                    runner.rng, done,
+                )
+                done += 1
+                if done >= n_steps:
+                    break
+        return state["params"]
+
+    run_e2e(5)
+    jax.block_until_ready(state["params"])
+    e2e = _time_windows(run_e2e)
+
+    assert np.isfinite(float(state["m"]["loss"]))
+    mfu_pct = (
+        round(100.0 * flops_per_step * device["median"] / V5E_BF16_PEAK_FLOPS, 3)
+        if np.isfinite(flops_per_step)
+        else None
+    )
+    return {
+        "device_steps_per_sec": device,
+        "end_to_end_steps_per_sec": e2e,
+        "examples_per_sec": round(e2e["median"] * configs.batch_size, 1),
+        "flops_per_step": flops_per_step if np.isfinite(flops_per_step) else None,
+        "mfu_pct": mfu_pct,
+    }
+
+
+def main():
+    from vslnet_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    results = {p: bench_predictor(p) for p in ("transformer", "rnn")}
+    headline = results["transformer"]["device_steps_per_sec"]["median"]
     print(
         json.dumps(
             {
                 "metric": "train_steps_per_sec",
-                "value": round(steps_per_sec, 2),
+                "value": headline,
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / V100_REFERENCE_STEPS_PER_SEC, 2),
+                "vs_baseline": round(headline / V100_REFERENCE_STEPS_PER_SEC, 2),
+                "baseline_note": (
+                    "V100 denominator (20 steps/s) is an estimate; the "
+                    "reference publishes no throughput numbers"
+                ),
+                "transformer": results["transformer"],
+                "rnn": results["rnn"],
             }
         )
     )

@@ -67,9 +67,10 @@ def main(coordinator, pid, workdir):
     it = iter(runner.train_loader.batch_iter())
     for step in range(2):
         _, batch = next(it)
-        assert batch["vfeats"].shape[0] == 4  # local rows only
+        feat_key = "vfeats" if "vfeats" in batch else "video_rows"
+        assert batch[feat_key].shape[0] == 4  # local rows only
         gbatch = shard_batch(batch, runner.mesh)
-        assert gbatch["vfeats"].shape[0] == 8  # global batch
+        assert gbatch[feat_key].shape[0] == 8  # global batch
         runner.params, runner.opt_state, m = runner.train_step(
             runner.params, runner.frozen, runner.opt_state, gbatch,
             runner.rng, step,

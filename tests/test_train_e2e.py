@@ -324,3 +324,43 @@ def test_model_learns_signal(tmp_path):
     r1i3, r1i5, r1i7, mi, *_ = runner.evaluate(mode="test")
     assert mi > 60.0, "model failed to learn planted span signal (mIoU=%.1f)" % mi
     assert r1i5 > 50.0, "R1@0.5=%.1f after overfit" % r1i5
+
+
+def test_device_bank_matches_vfeats_path(tmp_path):
+    """device_bank=on (batches carry video_rows; [B,T,D] gather on-device)
+    must be bit-identical to device_bank=off (host gathers + ships vfeats):
+    same one-step loss and params in fp32."""
+    from vslnet_tpu.parallel.mesh import shard_batch
+
+    cfg_on = tiny_configs(tmp_path / "a", device_bank="on")
+    cfg_off = tiny_configs(tmp_path / "b", device_bank="off")
+    dataset, feats = tiny_data(cfg_on, seed=7)
+    r_on = Runner(cfg_on, dataset, feats)
+    r_off = Runner(cfg_off, dataset, feats)
+    assert r_on.device_bank is not None and r_off.device_bank is None
+    _, b_on = next(iter(r_on.train_loader.batch_iter()))
+    _, b_off = next(iter(r_off.train_loader.batch_iter()))
+    assert "video_rows" in b_on and "vfeats" not in b_on
+    assert "vfeats" in b_off and "video_rows" not in b_off
+    p1, _, m1 = r_on.train_step(
+        r_on.params, r_on.frozen, r_on.opt_state,
+        shard_batch(b_on, r_on.mesh), r_on.rng, 0,
+    )
+    p2, _, m2 = r_off.train_step(
+        r_off.params, r_off.frozen, r_off.opt_state,
+        shard_batch(b_off, r_off.mesh), r_off.rng, 0,
+    )
+    assert float(m1["loss"]) == float(m2["loss"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        p1, p2,
+    )
+    # eval side decodes identically too
+    _, tb_on = next(iter(r_on.test_loader.test_iter("test")))
+    _, tb_off = next(iter(r_off.test_loader.test_iter("test")))
+    s1, e1 = r_on.eval_step(p1, r_on.frozen, shard_batch(tb_on, r_on.mesh))
+    s2, e2 = r_off.eval_step(p2, r_off.frozen,
+                             shard_batch(tb_off, r_off.mesh))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))

@@ -59,6 +59,12 @@ class Config:
     t7_checkpoint: Optional[str] = None  # import a reference torch .t7 ckpt
     tf_checkpoint: Optional[str] = None  # import a reference TF .ckpt
     feature_cache: bool = True         # packed+mmapped video-feature cache
+    device_bank: str = "auto"          # [auto | on | off] keep the packed
+    #   video-feature bank resident in device HBM; batches then carry int32
+    #   row ids and the [B,T,D] gather happens on-device, so per-step H2D
+    #   shrinks from ~8MB of features to ~KB of ids (auto: on when the bank
+    #   fits device_bank_max_gb)
+    device_bank_max_gb: float = 8.0
     eval_split: str = "test"           # [test | val] split for --mode test
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2

@@ -163,19 +163,19 @@ class _EncodedSplit:
         self.D = configs.video_feature_dim
         self.train = train
 
-    def gather(self, idxs, batch_size):
+    def gather(self, idxs, batch_size, with_vfeats=True):
         """Assemble a fixed-size batch from record indices (len <= batch_size;
-        short batches are zero-padded and flagged via batch_mask)."""
+        short batches are zero-padded and flagged via batch_mask).
+
+        with_vfeats=False (device-resident bank): the batch carries int32
+        `video_rows` into the bank instead of the [B,T,D] features — the
+        gather then runs on-device inside the train/eval step, and the
+        per-step host->device transfer drops from megabytes to kilobytes.
+        """
         k = len(idxs)
         pad = [0] * (batch_size - k)
         sel = list(idxs) + pad
-        # one vectorized fancy-index into the packed bank (rows beyond T are
-        # already zero-padded there)
-        vfeats = self.bank.bank[self.video_rows[sel]]
-        if pad:
-            vfeats[k:] = 0.0
         batch = {
-            "vfeats": vfeats,
             "v_len": np.maximum(self.v_len[sel], 1).astype(np.int32),
             "word_ids": self.word_ids[sel],
             "char_ids": self.char_ids[sel],
@@ -183,6 +183,15 @@ class _EncodedSplit:
                 [1.0] * k + [0.0] * (batch_size - k), dtype=np.float32
             ),
         }
+        if with_vfeats:
+            # one vectorized fancy-index into the packed bank (rows beyond T
+            # are already zero-padded there)
+            vfeats = self.bank.bank[self.video_rows[sel]]
+            if pad:
+                vfeats[k:] = 0.0
+            batch["vfeats"] = vfeats
+        else:
+            batch["video_rows"] = self.video_rows[sel].astype(np.int32)
         if pad:  # zero out padded rows' inputs
             batch["v_len"][k:] = 1
             batch["word_ids"][k:] = 0
@@ -202,12 +211,13 @@ class _EncodedSplit:
 
 class TrainLoader:
     def __init__(self, dataset, visual_features, configs, max_w=None,
-                 max_c=None, batch_size=None):
+                 max_c=None, batch_size=None, device_bank=False):
         if max_w is None or max_c is None:
             max_w, max_c = _static_caps([dataset], configs)
         # batch_size override: multi-host runs pass the per-process share
         # B/P of the global batch
         self.batch_size = batch_size or configs.batch_size
+        self.device_bank = device_bank
         self.split = _EncodedSplit(
             dataset, visual_features, configs, max_w, max_c, train=True
         )
@@ -225,16 +235,20 @@ class TrainLoader:
         for index in range(0, self.split.n, self.batch_size):
             idxs = order[index : index + self.batch_size]
             records = [self.split.records[i] for i in idxs]
-            yield records, self.split.gather(idxs, self.batch_size)
+            yield records, self.split.gather(
+                idxs, self.batch_size, with_vfeats=not self.device_bank
+            )
 
 
 class TestLoader:
-    def __init__(self, datasets, visual_features, configs, max_w=None, max_c=None):
+    def __init__(self, datasets, visual_features, configs, max_w=None,
+                 max_c=None, device_bank=False):
         if max_w is None or max_c is None:
             max_w, max_c = _static_caps(
                 [datasets.get("val_set"), datasets["test_set"]], configs
             )
         self.batch_size = configs.batch_size
+        self.device_bank = device_bank
         self.splits = {}
         if datasets.get("val_set") is not None:
             self.splits["val"] = _EncodedSplit(
@@ -263,4 +277,6 @@ class TestLoader:
         for index in range(0, split.n, self.batch_size):
             idxs = list(range(index, min(index + self.batch_size, split.n)))
             records = [split.records[i] for i in idxs]
-            yield records, split.gather(idxs, self.batch_size)
+            yield records, split.gather(
+                idxs, self.batch_size, with_vfeats=not self.device_bank
+            )

@@ -79,10 +79,16 @@ def make_train_step(model, tx, configs):
         # trade for long sequences / large sp_size (SURVEY.md §7)
         forward = jax.checkpoint(forward)
 
-    def loss_fn(params, frozen, batch, rng):
+    def loss_fn(params, frozen, batch, rng, bank):
+        # device-resident feature bank: batches carry int32 row ids and the
+        # [B,T,D] gather runs here on-device (data/loader.py gather docstring)
+        vfeats = (
+            batch["vfeats"] if "vfeats" in batch
+            else bank[batch["video_rows"]]
+        )
         out = forward(
             params, frozen, batch["word_ids"], batch["char_ids"],
-            batch["vfeats"], batch["v_len"], rng,
+            vfeats, batch["v_len"], rng,
         )
         loc = localization_loss(
             out["start_logits"], out["end_logits"],
@@ -99,10 +105,10 @@ def make_train_step(model, tx, configs):
     # donate params + opt_state buffers: they are consumed and rebuilt every
     # step, so XLA can update in place instead of allocating fresh HBM
     @functools.partial(jax.jit, donate_argnums=(0, 2))
-    def train_step(params, frozen, opt_state, batch, rng, step):
+    def train_step(params, frozen, opt_state, batch, rng, step, bank=None):
         step_rng = jax.random.fold_in(rng, step)
         grads, (loss, hl) = jax.grad(loss_fn, has_aux=True)(
-            params, frozen, batch, step_rng
+            params, frozen, batch, step_rng, bank
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -113,10 +119,14 @@ def make_train_step(model, tx, configs):
 
 def make_eval_step(model, use_pallas=False):
     @jax.jit
-    def eval_step(params, frozen, batch):
+    def eval_step(params, frozen, batch, bank=None):
+        vfeats = (
+            batch["vfeats"] if "vfeats" in batch
+            else bank[batch["video_rows"]]
+        )
         out = model.apply(
             {"params": params, "frozen": frozen},
-            batch["word_ids"], batch["char_ids"], batch["vfeats"], batch["v_len"],
+            batch["word_ids"], batch["char_ids"], vfeats, batch["v_len"],
             drop_rate=0.0, deterministic=True,
         )
         if use_pallas:
@@ -155,13 +165,14 @@ def prefetch_to_device(iterator, mesh, depth=2):
 
 
 def eval_test(eval_step, params, frozen, data_loader, mesh=None,
-              epoch=None, global_step=None, mode="test"):
+              epoch=None, global_step=None, mode="test", bank=None):
     ious = []
     it = data_loader.test_iter(mode)
     if mesh is not None:
         it = prefetch_to_device(it, mesh)
     for records, batch in it:
-        start_indexes, end_indexes = eval_step(params, frozen, batch)
+        start_indexes, end_indexes = eval_step(params, frozen, batch,
+                                               bank=bank)
         start_indexes = np.asarray(start_indexes)[: len(records)]
         end_indexes = np.asarray(end_indexes)[: len(records)]
         ious.extend(ious_from_predictions(records, start_indexes, end_indexes))
@@ -267,12 +278,23 @@ class Runner:
                 )
             local_batch_size = configs.batch_size // P
             train_records = host_shard(train_records)
+        # device-resident feature bank: keep the whole packed [N,T,D] bank
+        # in HBM (replicated; T-sharded under sequence parallelism) so each
+        # step transfers only int32 row ids and the feature gather runs
+        # on-device — the per-step H2D drops from megabytes to kilobytes
+        bank_bytes = visual_features.bank.nbytes
+        use_device_bank = configs.device_bank == "on" or (
+            configs.device_bank == "auto"
+            and bank_bytes <= float(configs.device_bank_max_gb) * 1e9
+        )
         self.train_loader = TrainLoader(
             train_records, visual_features, configs,
             max_w=max_w, max_c=max_c, batch_size=local_batch_size,
+            device_bank=use_device_bank,
         )
         self.test_loader = TestLoader(
             dataset, visual_features, configs, max_w=max_w, max_c=max_c,
+            device_bank=use_device_bank,
         )
         # global (pre-host-shard) batch count drives the step budget and
         # eval cadence identically on every host
@@ -311,8 +333,8 @@ class Runner:
         self.params = replicate(params, self.mesh)
         self.frozen = replicate(frozen, self.mesh)
         self.opt_state = replicate(opt_state, self.mesh)
-        self.train_step = make_train_step(self.model, self.tx, configs)
-        self.eval_step = make_eval_step(
+        self._train_step = make_train_step(self.model, self.tx, configs)
+        self._eval_step = make_eval_step(
             self.model, use_pallas=bool(configs.use_pallas)
         )
         # evaluation mesh: host-local on multi-host runs (every host runs
@@ -328,12 +350,42 @@ class Runner:
             self.eval_mesh = make_mesh(dp_eval, devices=local)
         else:
             self.eval_mesh = self.mesh
+        self.device_bank = self.eval_bank = None
+        if use_device_bank:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            spec = (
+                P(None, "seq") if "seq" in self.mesh.axis_names else P()
+            )
+            bank_np = np.ascontiguousarray(visual_features.bank)
+            self.device_bank = jax.device_put(
+                bank_np, NamedSharding(self.mesh, spec)
+            )
+            self.eval_bank = (
+                self.device_bank if self.eval_mesh is self.mesh
+                else jax.device_put(
+                    bank_np, NamedSharding(self.eval_mesh, P())
+                )
+            )
         self.home_dir = configs.home_dir()
         self.model_dir = os.path.join(self.home_dir, "model")
         self.log_dir = os.path.join(self.home_dir, "event")
 
     def n_params(self):
         return count_params(self.params)
+
+    def train_step(self, params, frozen, opt_state, batch, rng, step):
+        """One jitted optimization step; injects the device-resident
+        feature bank when the batch carries `video_rows` instead of
+        `vfeats` (both layouts compile to the same math)."""
+        bank = None if "vfeats" in batch else self.device_bank
+        return self._train_step(params, frozen, opt_state, batch, rng, step,
+                                bank=bank)
+
+    def eval_step(self, params, frozen, batch, bank=None):
+        if "vfeats" not in batch and bank is None:
+            bank = self.device_bank
+        return self._eval_step(params, frozen, batch, bank=bank)
 
     def evaluate(self, mode="test", epoch=None, global_step=None):
         if self.eval_mesh is self.mesh:
@@ -346,7 +398,7 @@ class Runner:
         return eval_test(
             self.eval_step, params, frozen, self.test_loader,
             mesh=self.eval_mesh, epoch=epoch, global_step=global_step,
-            mode=mode,
+            mode=mode, bank=self.eval_bank,
         )
 
     def train(self, verbose=True, resume=False):
