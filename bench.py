@@ -106,6 +106,7 @@ def bench_predictor(predictor):
         lowered = runner._train_step.lower(
             state["params"], runner.frozen, state["opt"], batches[0],
             runner.rng, 0, bank=runner.device_bank,
+            split=runner.train_split_dev,
         )
         flops_per_step = float(lowered.compile().cost_analysis()["flops"])
     except Exception:

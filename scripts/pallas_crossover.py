@@ -1,0 +1,118 @@
+"""Measure the fused Pallas CQA kernel vs its XLA twin across shapes.
+
+Round-1 verdict (weak #3): the Pallas kernels were parity-tested but never
+shown a regime where they beat XLA. This script produces the crossover
+table on the real chip: median kernel time for the fused CQA concat vs the
+pure-XLA composition at T x d grids (B fixed at the reference batch 16),
+plus the fused span decode vs its XLA twin over T.
+
+Run:  python scripts/pallas_crossover.py [--csv out.csv]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def median_ms(fn, *args, n=30):
+    fn(*args)  # compile
+    jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append((time.perf_counter() - t0) * 1e3)
+    return float(np.median(times))
+
+
+def xla_cqa_concat(video, query, v_mask, q_mask, w4v, w4q, w4mul):
+    """Pure-XLA twin of ops/pallas_kernels.fused_cqa_concat (the inference
+    path of models/layers.py CQAttention, dropout-free)."""
+    v = video.astype(jnp.float32)
+    q = query.astype(jnp.float32)
+    vm = v_mask.astype(jnp.float32)
+    qm = q_mask.astype(jnp.float32)
+    sub0 = jnp.einsum("btd,d->bt", v, w4v[:, 0])[:, :, None]
+    sub1 = jnp.einsum("bwd,d->bw", q, w4q[:, 0])[:, None, :]
+    sub2 = jnp.einsum("btd,bwd->btw", v * w4mul[None, None, :], q)
+    score = sub0 + sub1 + sub2
+    neg = -1e30
+    score_q = jax.nn.softmax(
+        score * qm[:, None, :] + neg * (1.0 - qm[:, None, :]), axis=-1)
+    score_v = jax.nn.softmax(
+        score * vm[:, :, None] + neg * (1.0 - vm[:, :, None]), axis=1)
+    v2q = jnp.einsum("btw,bwd->btd", score_q, q)
+    q2v = jnp.einsum("btw,bsw,bsd->btd", score_q, score_v, v)
+    return jnp.concatenate([v, v2q, v * v2q, v * q2v], axis=-1)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--csv", default=None)
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+    from vslnet_tpu.ops.pallas_kernels import (
+        fused_cqa_concat, fused_span_decode,
+    )
+    from vslnet_tpu.models.losses import decode_span
+
+    B, W = args.batch, 16
+    rows = []
+    print("# fused CQA concat vs XLA (B=%d, W=%d)" % (B, W))
+    print("T\td\txla_ms\tpallas_ms\tspeedup")
+    for T in (128, 512, 2048, 4096):
+        for d in (128, 512, 1024):
+            rng = np.random.default_rng(0)
+            v = jnp.asarray(rng.standard_normal((B, T, d)), jnp.float32)
+            q = jnp.asarray(rng.standard_normal((B, W, d)), jnp.float32)
+            vm = jnp.ones((B, T), jnp.float32)
+            qm = jnp.ones((B, W), jnp.float32)
+            w4v = jnp.asarray(rng.standard_normal((d, 1)), jnp.float32)
+            w4q = jnp.asarray(rng.standard_normal((d, 1)), jnp.float32)
+            wmul = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
+            xla = median_ms(jax.jit(xla_cqa_concat), v, q, vm, qm, w4v, w4q,
+                            wmul)
+            try:
+                pls = median_ms(fused_cqa_concat, v, q, vm, qm, w4v, w4q,
+                                wmul)
+            except Exception as e:
+                pls = float("nan")
+                print("  pallas failed at T=%d d=%d: %s" % (T, d, e),
+                      file=sys.stderr)
+            rows.append(("cqa", T, d, xla, pls))
+            print("%d\t%d\t%.3f\t%.3f\t%.2fx"
+                  % (T, d, xla, pls, xla / pls if pls == pls else 0.0),
+                  flush=True)
+
+    print("\n# fused span decode vs XLA (B=%d)" % B)
+    print("T\txla_ms\tpallas_ms\tspeedup")
+    xla_decode = jax.jit(lambda s, e: decode_span(s, e)[2:])
+    for T in (128, 512, 2048, 4096):
+        rng = np.random.default_rng(1)
+        s = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)
+        e = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)
+        xla = median_ms(xla_decode, s, e)
+        try:
+            pls = median_ms(fused_span_decode, s, e)
+        except Exception as exc:
+            pls = float("nan")
+            print("  pallas failed at T=%d: %s" % (T, exc), file=sys.stderr)
+        rows.append(("decode", T, None, xla, pls))
+        print("%d\t%.3f\t%.3f\t%.2fx"
+              % (T, xla, pls, xla / pls if pls == pls else 0.0), flush=True)
+
+    if args.csv:
+        with open(args.csv, "w", encoding="utf-8") as f:
+            f.write("kernel,T,d,xla_ms,pallas_ms\n")
+            for k, T, d, xla, pls in rows:
+                f.write("%s,%s,%s,%.4f,%.4f\n" % (k, T, d or "", xla, pls))
+
+
+if __name__ == "__main__":
+    main()

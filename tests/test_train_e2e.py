@@ -327,9 +327,10 @@ def test_model_learns_signal(tmp_path):
 
 
 def test_device_bank_matches_vfeats_path(tmp_path):
-    """device_bank=on (batches carry video_rows; [B,T,D] gather on-device)
-    must be bit-identical to device_bank=off (host gathers + ships vfeats):
-    same one-step loss and params in fp32."""
+    """device_bank=on (batches carry ONLY record idxs; ids, labels and
+    [B,T,D] features all gathered on-device from resident arrays) must be
+    bit-identical to device_bank=off (host gathers + ships vfeats): same
+    one-step loss and params in fp32, same eval decode."""
     from vslnet_tpu.parallel.mesh import shard_batch
 
     cfg_on = tiny_configs(tmp_path / "a", device_bank="on")
@@ -340,8 +341,8 @@ def test_device_bank_matches_vfeats_path(tmp_path):
     assert r_on.device_bank is not None and r_off.device_bank is None
     _, b_on = next(iter(r_on.train_loader.batch_iter()))
     _, b_off = next(iter(r_off.train_loader.batch_iter()))
-    assert "video_rows" in b_on and "vfeats" not in b_on
-    assert "vfeats" in b_off and "video_rows" not in b_off
+    assert set(b_on) == {"idxs"}  # minimal-H2D layout
+    assert "vfeats" in b_off and "idxs" not in b_off
     p1, _, m1 = r_on.train_step(
         r_on.params, r_on.frozen, r_on.opt_state,
         shard_batch(b_on, r_on.mesh), r_on.rng, 0,

@@ -17,16 +17,16 @@ from vslnet_tpu.data.processors import PROCESSORS
 from vslnet_tpu.data.vocab import UNK, vocab_emb_gen
 
 
-def dataset_gen(data, vfeat_lens, word_dict, char_dict, max_pos_len, scope):
+def dataset_gen(data, grid_lens, word_dict, char_dict, max_pos_len, scope):
     dataset = []
     unk_word = word_dict[UNK]
     unk_char = char_dict[UNK]
     for record in data:
         vid = record["vid"]
-        if vid not in vfeat_lens:
+        if vid not in grid_lens:
             continue
         s_ind, e_ind, _ = time_to_index(
-            record["s_time"], record["e_time"], vfeat_lens[vid], record["duration"]
+            record["s_time"], record["e_time"], grid_lens[vid], record["duration"]
         )
         word_ids, char_ids = [], []
         for word in record["words"][0:max_pos_len]:
@@ -42,7 +42,7 @@ def dataset_gen(data, vfeat_lens, word_dict, char_dict, max_pos_len, scope):
                 "words": record["words"],
                 "s_ind": int(s_ind),
                 "e_ind": int(e_ind),
-                "v_len": vfeat_lens[vid],
+                "v_len": grid_lens[vid],
                 "w_ids": word_ids,
                 "c_ids": char_ids,
             }
@@ -59,7 +59,10 @@ def dataset_cache_path(configs):
 
 def gen_or_load_dataset(configs):
     if configs.task not in PROCESSORS:
-        raise ValueError("Unknown task {}!!!".format(configs.task))
+        raise ValueError(
+            "Unknown task %r (choose from %s)"
+            % (configs.task, sorted(PROCESSORS))
+        )
     os.makedirs(configs.save_dir, exist_ok=True)
     data_dir = os.path.join(configs.data_root, "dataset", configs.task)
     feature_dir = os.path.join(configs.data_root, "features", configs.task, configs.fv)
@@ -70,27 +73,29 @@ def gen_or_load_dataset(configs):
     emb_path = configs.glove_path or os.path.join(
         configs.data_root, "features", "glove.840B.300d.txt"
     )
-    vfeat_lens = load_json(feat_len_path)
-    for vid, vfeat_len in vfeat_lens.items():
-        vfeat_lens[vid] = min(configs.max_pos_len, vfeat_len)
+    grid_lens = load_json(feat_len_path)
+    for vid, n_clips in grid_lens.items():
+        grid_lens[vid] = min(configs.max_pos_len, n_clips)
     processor = PROCESSORS[configs.task]()
     train_data, val_data, test_data = processor.convert(data_dir)
-    data_list = (
-        [train_data, test_data] if val_data is None else [train_data, val_data, test_data]
+    corpus_splits = (
+        [train_data, test_data]
+        if val_data is None
+        else [train_data, val_data, test_data]
     )
-    word_dict, char_dict, vectors = vocab_emb_gen(data_list, emb_path)
+    word_dict, char_dict, vectors = vocab_emb_gen(corpus_splits, emb_path)
     train_set = dataset_gen(
-        train_data, vfeat_lens, word_dict, char_dict, configs.max_pos_len, "train"
+        train_data, grid_lens, word_dict, char_dict, configs.max_pos_len, "train"
     )
     val_set = (
         None
         if val_data is None
         else dataset_gen(
-            val_data, vfeat_lens, word_dict, char_dict, configs.max_pos_len, "val"
+            val_data, grid_lens, word_dict, char_dict, configs.max_pos_len, "val"
         )
     )
     test_set = dataset_gen(
-        test_data, vfeat_lens, word_dict, char_dict, configs.max_pos_len, "test"
+        test_data, grid_lens, word_dict, char_dict, configs.max_pos_len, "test"
     )
     n_val = 0 if val_set is None else len(val_set)
     dataset = {

@@ -163,15 +163,42 @@ class _EncodedSplit:
         self.D = configs.video_feature_dim
         self.train = train
 
-    def gather(self, idxs, batch_size, with_vfeats=True):
+    def host_arrays(self):
+        """The split's static encoded arrays, for device residency: placed
+        in HBM once, the per-step batch then carries only int32 record
+        `idxs` and every gather runs on-device (train/runner.py
+        _materialize). Keys mirror the batch dict."""
+        d = {
+            "word_ids": self.word_ids,
+            "char_ids": self.char_ids,
+            "v_len": self.v_len,
+            "video_rows": self.video_rows,
+        }
+        if self.train:
+            d["s_labels"] = self.s_labels
+            d["e_labels"] = self.e_labels
+            d["h_labels"] = self.h_labels
+        return d
+
+    def gather(self, idxs, batch_size, layout="vfeats"):
         """Assemble a fixed-size batch from record indices (len <= batch_size;
         short batches are zero-padded and flagged via batch_mask).
 
-        with_vfeats=False (device-resident bank): the batch carries int32
-        `video_rows` into the bank instead of the [B,T,D] features — the
-        gather then runs on-device inside the train/eval step, and the
-        per-step host->device transfer drops from megabytes to kilobytes.
+        layout:
+          - "vfeats": full host batch incl. [B,T,D] features
+          - "rows":   features replaced by int32 `video_rows` into the
+                      device-resident bank (gather on-device)
+          - "idxs":   the batch is ONLY int32 record `idxs` (-1 padding);
+                      word/char ids, labels, lengths AND features are all
+                      gathered on-device from the resident split arrays —
+                      per-step H2D is then ~B*4 bytes
         """
+        if layout == "idxs":
+            return {
+                "idxs": np.asarray(
+                    list(idxs) + [-1] * (batch_size - len(idxs)), np.int32
+                )
+            }
         k = len(idxs)
         pad = [0] * (batch_size - k)
         sel = list(idxs) + pad
@@ -183,15 +210,15 @@ class _EncodedSplit:
                 [1.0] * k + [0.0] * (batch_size - k), dtype=np.float32
             ),
         }
-        if with_vfeats:
+        if layout == "rows":
+            batch["video_rows"] = self.video_rows[sel].astype(np.int32)
+        else:
             # one vectorized fancy-index into the packed bank (rows beyond T
             # are already zero-padded there)
             vfeats = self.bank.bank[self.video_rows[sel]]
             if pad:
                 vfeats[k:] = 0.0
             batch["vfeats"] = vfeats
-        else:
-            batch["video_rows"] = self.video_rows[sel].astype(np.int32)
         if pad:  # zero out padded rows' inputs
             batch["v_len"][k:] = 1
             batch["word_ids"][k:] = 0
@@ -211,13 +238,13 @@ class _EncodedSplit:
 
 class TrainLoader:
     def __init__(self, dataset, visual_features, configs, max_w=None,
-                 max_c=None, batch_size=None, device_bank=False):
+                 max_c=None, batch_size=None, layout="vfeats"):
         if max_w is None or max_c is None:
             max_w, max_c = _static_caps([dataset], configs)
         # batch_size override: multi-host runs pass the per-process share
         # B/P of the global batch
         self.batch_size = batch_size or configs.batch_size
-        self.device_bank = device_bank
+        self.layout = layout
         self.split = _EncodedSplit(
             dataset, visual_features, configs, max_w, max_c, train=True
         )
@@ -236,19 +263,19 @@ class TrainLoader:
             idxs = order[index : index + self.batch_size]
             records = [self.split.records[i] for i in idxs]
             yield records, self.split.gather(
-                idxs, self.batch_size, with_vfeats=not self.device_bank
+                idxs, self.batch_size, layout=self.layout
             )
 
 
 class TestLoader:
     def __init__(self, datasets, visual_features, configs, max_w=None,
-                 max_c=None, device_bank=False):
+                 max_c=None, layout="vfeats"):
         if max_w is None or max_c is None:
             max_w, max_c = _static_caps(
                 [datasets.get("val_set"), datasets["test_set"]], configs
             )
         self.batch_size = configs.batch_size
-        self.device_bank = device_bank
+        self.layout = layout
         self.splits = {}
         if datasets.get("val_set") is not None:
             self.splits["val"] = _EncodedSplit(
@@ -278,5 +305,5 @@ class TestLoader:
             idxs = list(range(index, min(index + self.batch_size, split.n)))
             records = [split.records[i] for i in idxs]
             yield records, split.gather(
-                idxs, self.batch_size, with_vfeats=not self.device_bank
+                idxs, self.batch_size, layout=self.layout
             )

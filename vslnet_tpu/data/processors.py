@@ -55,7 +55,7 @@ class CharadesProcessor(_Processor):
     def convert(self, data_dir):
         self.reset_idx_counter()
         if not os.path.exists(data_dir):
-            raise ValueError("data dir {} does not exist".format(data_dir))
+            raise ValueError("missing annotation directory: %s" % data_dir)
         charades = load_json(os.path.join(data_dir, "charades.json"))
         train_data = load_lines(os.path.join(data_dir, "charades_sta_train.txt"))
         test_data = load_lines(os.path.join(data_dir, "charades_sta_test.txt"))
@@ -81,7 +81,7 @@ class ActivityNetProcessor(_Processor):
     def convert(self, data_dir):
         self.reset_idx_counter()
         if not os.path.exists(data_dir):
-            raise ValueError("data dir {} does not exist".format(data_dir))
+            raise ValueError("missing annotation directory: %s" % data_dir)
         train_data = load_json(os.path.join(data_dir, "train.json"))
         val_data = load_json(os.path.join(data_dir, "val_2.json"))
         test_data = load_json(os.path.join(data_dir, "val_1.json"))
@@ -112,7 +112,7 @@ class TACoSProcessor(_Processor):
     def convert(self, data_dir):
         self.reset_idx_counter()
         if not os.path.exists(data_dir):
-            raise ValueError("data dir {} does not exist".format(data_dir))
+            raise ValueError("missing annotation directory: %s" % data_dir)
         return (
             self.process_data(load_json(os.path.join(data_dir, "train.json")), "train"),
             self.process_data(load_json(os.path.join(data_dir, "val.json")), "val"),

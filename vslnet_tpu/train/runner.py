@@ -61,6 +61,58 @@ def count_params(params):
     return int(sum(np.prod(p.shape) for p in jax.tree.leaves(params)))
 
 
+def place_split(arrays, mesh):
+    """Place a split's encoded arrays in device HBM: replicated, except the
+    [N, T] label grids which are T-sharded under sequence parallelism (the
+    on-device gather then keeps the time axis distributed)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rep = NamedSharding(mesh, P())
+    tsh = (
+        NamedSharding(mesh, P(None, "seq"))
+        if "seq" in mesh.axis_names else rep
+    )
+    return {
+        k: jax.device_put(
+            np.ascontiguousarray(v),
+            tsh if k in ("s_labels", "e_labels", "h_labels") else rep,
+        )
+        for k, v in arrays.items()
+    }
+
+
+def _materialize(batch, bank, split, train):
+    """Resolve a batch to the full tensor dict, whatever its layout
+    (data/loader.py gather docstring):
+
+    - "idxs" layout: gather word/char ids, lengths, labels and features
+      on-device from the resident split arrays + bank. Padded slots carry
+      idx -1 -> batch_mask 0 (their gathered row-0 contents are garbage by
+      design; every loss/metric consumer is batch_mask- or slice-masked).
+    - "video_rows" layout: only the feature gather is on-device.
+    - "vfeats" layout: host-built batch, passed through (serving path).
+    """
+    if "idxs" in batch:
+        idxs = batch["idxs"]
+        safe = jnp.maximum(idxs, 0)
+        out = {
+            "word_ids": split["word_ids"][safe],
+            "char_ids": split["char_ids"][safe],
+            "v_len": jnp.maximum(split["v_len"][safe], 1),
+            "batch_mask": (idxs >= 0).astype(jnp.float32),
+            "vfeats": bank[split["video_rows"][safe]],
+        }
+        if train:
+            for key in ("s_labels", "e_labels", "h_labels"):
+                out[key] = split[key][safe]
+        return out
+    if "video_rows" in batch:
+        out = dict(batch)
+        out["vfeats"] = bank[out.pop("video_rows")]
+        return out
+    return batch
+
+
 def make_train_step(model, tx, configs):
     drop_rate = float(configs.drop_rate)
     lam = float(configs.highlight_lambda)
@@ -79,16 +131,11 @@ def make_train_step(model, tx, configs):
         # trade for long sequences / large sp_size (SURVEY.md §7)
         forward = jax.checkpoint(forward)
 
-    def loss_fn(params, frozen, batch, rng, bank):
-        # device-resident feature bank: batches carry int32 row ids and the
-        # [B,T,D] gather runs here on-device (data/loader.py gather docstring)
-        vfeats = (
-            batch["vfeats"] if "vfeats" in batch
-            else bank[batch["video_rows"]]
-        )
+    def loss_fn(params, frozen, batch, rng, bank, split):
+        batch = _materialize(batch, bank, split, train=True)
         out = forward(
             params, frozen, batch["word_ids"], batch["char_ids"],
-            vfeats, batch["v_len"], rng,
+            batch["vfeats"], batch["v_len"], rng,
         )
         loc = localization_loss(
             out["start_logits"], out["end_logits"],
@@ -105,10 +152,11 @@ def make_train_step(model, tx, configs):
     # donate params + opt_state buffers: they are consumed and rebuilt every
     # step, so XLA can update in place instead of allocating fresh HBM
     @functools.partial(jax.jit, donate_argnums=(0, 2))
-    def train_step(params, frozen, opt_state, batch, rng, step, bank=None):
+    def train_step(params, frozen, opt_state, batch, rng, step, bank=None,
+                   split=None):
         step_rng = jax.random.fold_in(rng, step)
         grads, (loss, hl) = jax.grad(loss_fn, has_aux=True)(
-            params, frozen, batch, step_rng, bank
+            params, frozen, batch, step_rng, bank, split
         )
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -119,15 +167,12 @@ def make_train_step(model, tx, configs):
 
 def make_eval_step(model, use_pallas=False):
     @jax.jit
-    def eval_step(params, frozen, batch, bank=None):
-        vfeats = (
-            batch["vfeats"] if "vfeats" in batch
-            else bank[batch["video_rows"]]
-        )
+    def eval_step(params, frozen, batch, bank=None, split=None):
+        batch = _materialize(batch, bank, split, train=False)
         out = model.apply(
             {"params": params, "frozen": frozen},
-            batch["word_ids"], batch["char_ids"], vfeats, batch["v_len"],
-            drop_rate=0.0, deterministic=True,
+            batch["word_ids"], batch["char_ids"], batch["vfeats"],
+            batch["v_len"], drop_rate=0.0, deterministic=True,
         )
         if use_pallas:
             from vslnet_tpu.ops.pallas_kernels import fused_span_decode
@@ -165,14 +210,15 @@ def prefetch_to_device(iterator, mesh, depth=2):
 
 
 def eval_test(eval_step, params, frozen, data_loader, mesh=None,
-              epoch=None, global_step=None, mode="test", bank=None):
+              epoch=None, global_step=None, mode="test", bank=None,
+              split=None):
     ious = []
     it = data_loader.test_iter(mode)
     if mesh is not None:
         it = prefetch_to_device(it, mesh)
     for records, batch in it:
         start_indexes, end_indexes = eval_step(params, frozen, batch,
-                                               bank=bank)
+                                               bank=bank, split=split)
         start_indexes = np.asarray(start_indexes)[: len(records)]
         end_indexes = np.asarray(end_indexes)[: len(records)]
         ious.extend(ious_from_predictions(records, start_indexes, end_indexes))
@@ -278,23 +324,33 @@ class Runner:
                 )
             local_batch_size = configs.batch_size // P
             train_records = host_shard(train_records)
-        # device-resident feature bank: keep the whole packed [N,T,D] bank
-        # in HBM (replicated; T-sharded under sequence parallelism) so each
-        # step transfers only int32 row ids and the feature gather runs
-        # on-device — the per-step H2D drops from megabytes to kilobytes
+        # device-resident data: keep the whole packed [N,T,D] feature bank
+        # (and, single-process, the encoded split arrays too) in HBM so each
+        # step transfers only int32 ids and every gather runs on-device —
+        # per-step H2D drops from megabytes to ~B*4 bytes
         bank_bytes = visual_features.bank.nbytes
         use_device_bank = configs.device_bank == "on" or (
             configs.device_bank == "auto"
             and bank_bytes <= float(configs.device_bank_max_gb) * 1e9
         )
+        if not use_device_bank:
+            layout = "vfeats"
+        elif jax.process_count() == 1:
+            layout = "idxs"
+        else:
+            # multi-host keeps host-sharded records, so split arrays differ
+            # per host and cannot be device-replicated; only the (identical)
+            # feature bank is resident
+            layout = "rows"
+        self.batch_layout = layout
         self.train_loader = TrainLoader(
             train_records, visual_features, configs,
             max_w=max_w, max_c=max_c, batch_size=local_batch_size,
-            device_bank=use_device_bank,
+            layout=layout,
         )
         self.test_loader = TestLoader(
             dataset, visual_features, configs, max_w=max_w, max_c=max_c,
-            device_bank=use_device_bank,
+            layout=layout,
         )
         # global (pre-host-shard) batch count drives the step budget and
         # eval cadence identically on every host
@@ -351,6 +407,8 @@ class Runner:
         else:
             self.eval_mesh = self.mesh
         self.device_bank = self.eval_bank = None
+        self.train_split_dev = None
+        self.eval_split_dev = {}
         if use_device_bank:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -367,6 +425,14 @@ class Runner:
                     bank_np, NamedSharding(self.eval_mesh, P())
                 )
             )
+            if layout == "idxs":
+                self.train_split_dev = place_split(
+                    self.train_loader.split.host_arrays(), self.mesh
+                )
+                self.eval_split_dev = {
+                    mode: place_split(sp.host_arrays(), self.eval_mesh)
+                    for mode, sp in self.test_loader.splits.items()
+                }
         self.home_dir = configs.home_dir()
         self.model_dir = os.path.join(self.home_dir, "model")
         self.log_dir = os.path.join(self.home_dir, "event")
@@ -376,16 +442,19 @@ class Runner:
 
     def train_step(self, params, frozen, opt_state, batch, rng, step):
         """One jitted optimization step; injects the device-resident
-        feature bank when the batch carries `video_rows` instead of
-        `vfeats` (both layouts compile to the same math)."""
+        feature bank / split arrays for the "rows" and "idxs" batch
+        layouts (all layouts compile to the same math)."""
         bank = None if "vfeats" in batch else self.device_bank
+        split = self.train_split_dev if "idxs" in batch else None
         return self._train_step(params, frozen, opt_state, batch, rng, step,
-                                bank=bank)
+                                bank=bank, split=split)
 
-    def eval_step(self, params, frozen, batch, bank=None):
+    def eval_step(self, params, frozen, batch, bank=None, split=None):
         if "vfeats" not in batch and bank is None:
             bank = self.device_bank
-        return self._eval_step(params, frozen, batch, bank=bank)
+        if "idxs" in batch and split is None:
+            split = self.eval_split_dev.get("test")
+        return self._eval_step(params, frozen, batch, bank=bank, split=split)
 
     def evaluate(self, mode="test", epoch=None, global_step=None):
         if self.eval_mesh is self.mesh:
@@ -399,6 +468,7 @@ class Runner:
             self.eval_step, params, frozen, self.test_loader,
             mesh=self.eval_mesh, epoch=epoch, global_step=global_step,
             mode=mode, bank=self.eval_bank,
+            split=self.eval_split_dev.get(mode),
         )
 
     def train(self, verbose=True, resume=False):
