@@ -6,6 +6,11 @@ table on the real chip: median kernel time for the fused CQA concat vs the
 pure-XLA composition at T x d grids (B fixed at the reference batch 16),
 plus the fused span decode vs its XLA twin over T.
 
+Also measures the fused LSTM recurrence (ops/pallas_kernels.py) vs the
+lax.scan path of models/layers.py:LSTMEncoder, fwd and fwd+bwd, bf16 and
+fp32 — per-invocation times amortized over a 50-deep fori_loop chain so the
+~30ms axon-tunnel dispatch overhead doesn't swamp sub-ms kernels.
+
 Run:  python scripts/pallas_crossover.py [--csv out.csv]
 """
 import argparse
@@ -106,6 +111,68 @@ def main():
         rows.append(("decode", T, None, xla, pls))
         print("%d\t%.3f\t%.3f\t%.2fx"
               % (T, xla, pls, xla / pls if pls == pls else 0.0), flush=True)
+
+    print("\n# fused LSTM recurrence vs lax.scan (LSTMEncoder fwd / fwd+bwd,"
+          " amortized x50)")
+    print("dtype\tT\tB\tH\tscan_f\tpal_f\tscan_fb\tpal_fb\tfb_speedup")
+    from vslnet_tpu.models.layers import LSTMEncoder
+
+    N_INNER = 50
+
+    def amortized_ms(fn, *fargs, n=10):
+        jax.block_until_ready(fn(*fargs))
+        times = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*fargs))
+            times.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(times)) / N_INNER
+
+    for dt_name, dt in (("bf16", jnp.bfloat16), ("fp32", jnp.float32)):
+        for (T, Bl, H) in ((128, 16, 128), (512, 16, 128), (128, 64, 128)):
+            rng = np.random.default_rng(2)
+            x = jnp.asarray(rng.standard_normal((Bl, T, H)), dt)
+            seq = jnp.full((Bl,), T, jnp.int32)
+            mods = {
+                False: LSTMEncoder(dim=H, dtype=dt, use_pallas=False),
+                True: LSTMEncoder(dim=H, dtype=dt, use_pallas=True),
+            }
+            params = mods[False].init(jax.random.PRNGKey(0), x, seq)
+
+            def wrap(mod, grad):
+                if grad:
+                    inner = jax.grad(lambda p, xx: jnp.sum(
+                        mod.apply(p, xx, seq).astype(jnp.float32)))
+                    pick = lambda r: jnp.mean(r["params"]["kernel"])
+                else:
+                    inner = lambda p, xx: mod.apply(p, xx, seq)
+                    pick = jnp.mean
+
+                def many(p, xx):
+                    def body(i, carry):
+                        r = inner(p, xx + carry)
+                        return (pick(r) * 1e-30).astype(xx.dtype)
+                    return jax.lax.fori_loop(
+                        0, N_INNER, body, jnp.zeros((), xx.dtype))
+                return jax.jit(many)
+
+            cells = []
+            for grad in (False, True):
+                for pallas in (False, True):
+                    try:
+                        cells.append(amortized_ms(wrap(mods[pallas], grad),
+                                                  params, x))
+                    except Exception as e:
+                        cells.append(float("nan"))
+                        print("  lstm failed (%s pallas=%s grad=%s): %s"
+                              % (dt_name, pallas, grad, str(e)[:120]),
+                              file=sys.stderr)
+            sf, pf, sb, pb = cells
+            rows.append(("lstm_f_" + dt_name, T, H, sf, pf))
+            rows.append(("lstm_fb_" + dt_name, T, H, sb, pb))
+            print("%s\t%d\t%d\t%d\t%.4f\t%.4f\t%.4f\t%.4f\t%.2fx"
+                  % (dt_name, T, Bl, H, sf, pf, sb, pb,
+                     sb / pb if pb == pb else 0.0), flush=True)
 
     if args.csv:
         with open(args.csv, "w", encoding="utf-8") as f:

@@ -127,6 +127,160 @@ def test_fused_highlight_gate_matches_layer():
                                atol=1e-5)
 
 
+def test_fused_lstm_matches_scan_encoder():
+    """fused_lstm_recurrence vs the flax LSTMEncoder scan path: same params,
+    ragged seq_lens -> identical outputs and (via custom VJP) matching
+    gradients w.r.t. both the inputs and the recurrent kernel."""
+    from vslnet_tpu.models.layers import LSTMEncoder
+
+    rng = np.random.default_rng(6)
+    B, T, IN, H = 4, 12, 10, 8
+    x = jnp.asarray(rng.standard_normal((B, T, IN)), jnp.float32)
+    seq_len = jnp.asarray([12, 7, 1, 10], jnp.int32)
+    scan_mod = LSTMEncoder(dim=H, use_pallas=False)
+    pal_mod = LSTMEncoder(dim=H, use_pallas=True)
+    params = scan_mod.init(jax.random.PRNGKey(0), x, seq_len)
+    out_scan = scan_mod.apply(params, x, seq_len)
+    out_pal = pal_mod.apply(params, x, seq_len)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_scan),
+                               atol=1e-6)
+    # rows past seq_len must be zeroed (tf.nn.dynamic_rnn semantics)
+    assert np.abs(np.asarray(out_pal)[2, 1:]).max() == 0.0
+
+    w = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    g_scan = jax.grad(
+        lambda p: jnp.sum(scan_mod.apply(p, x, seq_len) * w))(params)
+    g_pal = jax.grad(
+        lambda p: jnp.sum(pal_mod.apply(p, x, seq_len) * w))(params)
+    for key in ("kernel", "bias"):
+        np.testing.assert_allclose(
+            np.asarray(g_pal["params"][key]), np.asarray(g_scan["params"][key]),
+            atol=1e-5, rtol=1e-5,
+        )
+    gx_scan = jax.grad(
+        lambda xx: jnp.sum(scan_mod.apply(params, xx, seq_len) * w))(x)
+    gx_pal = jax.grad(
+        lambda xx: jnp.sum(pal_mod.apply(params, xx, seq_len) * w))(x)
+    np.testing.assert_allclose(np.asarray(gx_pal), np.asarray(gx_scan),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_fused_lstm_bf16_close_to_f32_scan():
+    """bf16 pallas path (bf16 MXU inputs, fp32 accumulation + fp32 gate/state
+    math) must stay close to the fp32 scan reference — at least as close as
+    the all-bf16 scan path is."""
+    from vslnet_tpu.models.layers import LSTMEncoder
+
+    rng = np.random.default_rng(8)
+    B, T, H = 4, 24, 16
+    x32 = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    seq_len = jnp.asarray([24, 13, 5, 20], jnp.int32)
+    ref_mod = LSTMEncoder(dim=H, dtype=jnp.float32, use_pallas=False)
+    params = ref_mod.init(jax.random.PRNGKey(0), x32, seq_len)
+    ref = np.asarray(ref_mod.apply(params, x32, seq_len))
+
+    x16 = x32.astype(jnp.bfloat16)
+    pal16 = np.asarray(
+        LSTMEncoder(dim=H, dtype=jnp.bfloat16, use_pallas=True)
+        .apply(params, x16, seq_len), np.float32)
+    scan16 = np.asarray(
+        LSTMEncoder(dim=H, dtype=jnp.bfloat16, use_pallas=False)
+        .apply(params, x16, seq_len), np.float32)
+    err_pal = np.abs(pal16 - ref).max()
+    err_scan = np.abs(scan16 - ref).max()
+    assert err_pal < 0.05, err_pal
+    assert err_pal <= err_scan * 1.5 + 1e-6, (err_pal, err_scan)
+
+
+def test_full_model_rnn_train_grad_parity_pallas_vs_xla():
+    """Whole-model rnn-predictor: loss AND param gradients match between the
+    scan path and the fused Pallas recurrence (training-path kernel)."""
+    from vslnet_tpu.models.vslnet import VSLNet
+    from vslnet_tpu.models.losses import highlight_loss, localization_loss
+
+    rng = np.random.default_rng(7)
+    B, W, C, T = 4, 6, 5, 16
+    kw = dict(
+        hidden_size=16, char_size=12, char_dim=4, word_dim=8,
+        video_feature_dim=10, num_heads=4, max_pos_len=T,
+        predictor="rnn", word_vectors_shape=(30, 8),
+    )
+    m_xla = VSLNet(use_pallas=False, **kw)
+    m_pal = VSLNet(use_pallas=True, **kw)
+    word_ids = jnp.asarray(rng.integers(1, 30, (B, W)), jnp.int32)
+    char_ids = jnp.asarray(rng.integers(0, 12, (B, W, C)), jnp.int32)
+    vfeats = jnp.asarray(rng.standard_normal((B, T, 10)), jnp.float32)
+    v_len = jnp.asarray([16, 9, 12, 5], jnp.int32)
+    s_lab = jnp.asarray([0, 2, 3, 1], jnp.int32)
+    e_lab = jnp.asarray([5, 6, 10, 3], jnp.int32)
+    h_lab = jnp.asarray(rng.integers(0, 2, (B, T)), jnp.float32)
+    variables = m_xla.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+        word_ids, char_ids, vfeats, v_len,
+    )
+
+    y1 = jax.nn.one_hot(s_lab, T)
+    y2 = jax.nn.one_hot(e_lab, T)
+
+    def loss_fn(model, params):
+        # training mode (deterministic=False) with drop_rate=0: exercises the
+        # differentiable pallas LSTM while CQA/highlight stay on their XLA
+        # training paths (their fused kernels are inference-only)
+        out = model.apply(
+            {**variables, "params": params}, word_ids, char_ids, vfeats, v_len,
+            drop_rate=0.0, deterministic=False,
+            rngs={"dropout": jax.random.PRNGKey(1)})
+        loc = localization_loss(out["start_logits"], out["end_logits"], y1, y2)
+        hl = highlight_loss(out["highlight_logits"], h_lab, out["v_mask"])
+        return loc + 5.0 * hl
+
+    lx, gx = jax.value_and_grad(lambda p: loss_fn(m_xla, p))(
+        variables["params"])
+    lp, gp = jax.value_and_grad(lambda p: loss_fn(m_pal, p))(
+        variables["params"])
+    np.testing.assert_allclose(float(lp), float(lx), rtol=1e-5)
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_p = jax.tree_util.tree_leaves_with_path(gp)
+    for (kx, vx), (kp, vp) in zip(flat_x, flat_p):
+        assert kx == kp
+        np.testing.assert_allclose(
+            np.asarray(vp), np.asarray(vx), atol=2e-5, rtol=2e-4,
+            err_msg=jax.tree_util.keystr(kx),
+        )
+
+
+def test_fused_lstm_under_dp_mesh():
+    """The fused recurrence (with its custom VJP) must compile and match the
+    single-device result when the batch is sharded over the 8-device mesh."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from vslnet_tpu.models.layers import LSTMEncoder
+
+    B, T, H = 16, 24, 8
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((B, T, H)), jnp.float32)
+    seq = jnp.asarray(rng.integers(1, T + 1, (B,)), jnp.int32)
+    mod = LSTMEncoder(dim=H, use_pallas=True)
+    params = mod.init(jax.random.PRNGKey(0), x, seq)
+
+    def loss(p, x, s):
+        return jnp.sum(mod.apply(p, x, s) ** 2)
+
+    l_ref = float(jax.jit(loss)(params, x, seq))
+    g_ref = jax.jit(jax.grad(loss))(params, x, seq)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ss = jax.device_put(seq, NamedSharding(mesh, P("data")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    l_dp = float(jax.jit(loss)(ps, xs, ss))
+    g_dp = jax.jit(jax.grad(loss))(ps, xs, ss)
+    np.testing.assert_allclose(l_dp, l_ref, rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(g_dp),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
+
+
 def test_full_model_eval_parity_pallas_vs_xla():
     """Same params, use_pallas on/off: eval outputs (decoded spans) match."""
     import jax.numpy as jnp

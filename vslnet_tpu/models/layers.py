@@ -459,6 +459,7 @@ class LSTMEncoder(nn.Module):
     dim: int
     dtype: Dtype = jnp.float32
     unroll: int = 8  # scan unroll factor: amortizes TPU loop overhead
+    use_pallas: bool = False  # fused VMEM-resident recurrence (fwd + VJP)
 
     @nn.compact
     def __call__(self, x, seq_len):
@@ -477,6 +478,17 @@ class LSTMEncoder(nn.Module):
             precision=dot_precision(self.dtype),
         ) + b
         xs = jnp.swapaxes(x_proj, 0, 1)  # [T, B, 4H]
+        from vslnet_tpu.ops.pallas_kernels import lstm_pallas_fits
+
+        if self.use_pallas and lstm_pallas_fits(T, B, self.dim):
+            from vslnet_tpu.ops.pallas_kernels import fused_lstm_recurrence
+
+            valid = jnp.swapaxes(
+                (jnp.arange(T, dtype=jnp.int32)[None, :] < seq_len[:, None])
+                .astype(jnp.float32), 0, 1
+            )  # [T, B]
+            ys = fused_lstm_recurrence(xs, k_h, valid)
+            return jnp.swapaxes(ys, 0, 1).astype(self.dtype)
         valid_ts = jnp.swapaxes(
             (jnp.arange(T, dtype=jnp.int32)[None, :] < seq_len[:, None])
             .astype(self.dtype)[..., None], 0, 1
@@ -518,15 +530,18 @@ class ConditionedPredictor(nn.Module):
     max_position_length: int
     mode: str = "rnn"
     dtype: Dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, seq_len, v_mask, *, deterministic, drop_rate):
         if self.mode == "rnn":
             start_features = LSTMEncoder(
-                dim=self.hidden_size, dtype=self.dtype, name="start_rnn"
+                dim=self.hidden_size, dtype=self.dtype,
+                use_pallas=self.use_pallas, name="start_rnn"
             )(x, seq_len)
             end_features = LSTMEncoder(
-                dim=self.hidden_size, dtype=self.dtype, name="end_rnn"
+                dim=self.hidden_size, dtype=self.dtype,
+                use_pallas=self.use_pallas, name="end_rnn"
             )(start_features, seq_len)
         else:
             encoder = FeatureEncoder(

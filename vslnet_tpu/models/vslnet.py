@@ -125,7 +125,8 @@ class VSLNet(nn.Module):
         start_logits, end_logits = ConditionedPredictor(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             max_position_length=self.max_pos_len, mode=self.predictor,
-            dtype=self.dtype, name="conditioned_predictor",
+            dtype=self.dtype, use_pallas=self.use_pallas,
+            name="conditioned_predictor",
         )(feats, v_len, v_mask, deterministic=deterministic,
           drop_rate=drop_rate)
         return {

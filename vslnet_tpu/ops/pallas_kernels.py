@@ -149,6 +149,266 @@ def _highlight_gate_kernel(x_ref, w_ref, b_ref, vmask_ref, gated_ref,
     gated_ref[:] = x * scores[:, :, None]
 
 
+# --- fused LSTM recurrence ---------------------------------------------------
+#
+# The rnn predictor (reference model/layers.py:245-257, the CLI default) is
+# the TPU outlier: a lax.scan emits an HLO while-loop whose per-iteration
+# [B,H]x[H,4H] matmul pays loop/dispatch overhead every step. Here the WHOLE
+# recurrence runs inside one Pallas program: x_proj, k_h, h/c state and the
+# output sequence all live in VMEM for the duration, and the T-step
+# fori_loop issues back-to-back MXU matmuls with zero HBM round-trips.
+# TF LSTMCell semantics (gate order [i, j, f, o], forget_bias 1.0) and
+# tf.nn.dynamic_rnn masking (outputs zeroed, state frozen past seq_len)
+# match models/layers.py:LSTMEncoder exactly; parity is pinned in
+# tests/test_pallas.py. A custom VJP runs the reverse recurrence as a
+# second Pallas kernel, so --use_pallas accelerates TRAINING too.
+
+
+def _lstm_gate_math(gates, c_prev):
+    H = c_prev.shape[-1]
+    i = jax.nn.sigmoid(gates[:, 0:H])
+    g = jnp.tanh(gates[:, H : 2 * H])
+    f = jax.nn.sigmoid(gates[:, 2 * H : 3 * H] + 1.0)  # forget_bias=1.0
+    o = jax.nn.sigmoid(gates[:, 3 * H : 4 * H])
+    c_tilde = c_prev * f + i * g
+    th = jnp.tanh(c_tilde)
+    h_tilde = th * o
+    return i, g, f, o, c_tilde, th, h_tilde
+
+
+def lstm_pallas_fits(T, B, H, budget_bytes=100 * 1024 * 1024):
+    """True if the fused LSTM kernels (the residual-emitting VJP forward is
+    the high-water mark: xp + out + acts + tanh(c)/c/h sequences, all fp32
+    VMEM-resident) fit the ~128MB v5e VMEM budget with headroom. Callers
+    fall back to the lax.scan path beyond this."""
+    return T * B * (12 * H) * 4 <= budget_bytes
+
+
+def _lstm_unroll(T):
+    """Largest time-block size dividing T: the kernels process U steps per
+    loop iteration with static in-block indices, giving Mosaic straight-line
+    code to software-pipeline around the sequential h/c dependency."""
+    for u in (8, 4, 2):
+        if T % u == 0:
+            return u
+    return 1
+
+
+def _lstm_fwd_lean_kernel(xp_ref, kh_ref, valid_ref, out_ref, c_scr, h_scr):
+    """Inference/primal forward: no residual outputs (pallas outputs cannot
+    be dead-code-eliminated by XLA, so the VJP forward is a separate
+    kernel). The h.k_h matmul runs in the caller's dtype (bf16 inputs =
+    1 MXU pass vs 3 for fp32) with fp32 accumulation; gate math and the
+    carried h/c state stay fp32 — strictly better numerics than the scan
+    path's all-bf16 recurrence."""
+    T = xp_ref.shape[0]
+    U = _lstm_unroll(T)
+    mxu_dt = kh_ref.dtype
+    c_scr[:] = jnp.zeros_like(c_scr)
+    h_scr[:] = jnp.zeros_like(h_scr)
+
+    def body(it, _):
+        t0 = it * U
+        xp_blk = xp_ref[pl.ds(t0, U)].astype(jnp.float32)  # [U, B, 4H]
+        v_blk = valid_ref[pl.ds(t0, U)]                    # [U, B]
+        outs = []
+        for k in range(U):
+            gates = xp_blk[k] + jnp.dot(
+                h_scr[:].astype(mxu_dt), kh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            i, g, f, o, _, th, h_tilde = _lstm_gate_math(gates, c_scr[:])
+            v = v_blk[k][:, None]
+            c_scr[:] = v * (c_scr[:] * f + i * g) + (1.0 - v) * c_scr[:]
+            new_h = v * h_tilde
+            outs.append(new_h)
+            h_scr[:] = new_h + (1.0 - v) * h_scr[:]
+        out_ref[pl.ds(t0, U)] = jnp.stack(outs, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, T // U, body, 0)
+
+
+def _lstm_fwd_kernel(xp_ref, kh_ref, valid_ref, out_ref, acts_ref, th_ref,
+                     c_seq_ref, h_seq_ref, c_scr, h_scr):
+    """Full recurrence, one program. Residuals (gate activations, tanh(c~),
+    carried c/h sequences) are emitted for the backward kernel."""
+    T = xp_ref.shape[0]
+    U = _lstm_unroll(T)
+    mxu_dt = kh_ref.dtype
+    c_scr[:] = jnp.zeros_like(c_scr)
+    h_scr[:] = jnp.zeros_like(h_scr)
+
+    def body(it, _):
+        t0 = it * U
+        xp_blk = xp_ref[pl.ds(t0, U)].astype(jnp.float32)
+        v_blk = valid_ref[pl.ds(t0, U)]
+        outs, acts, ths, cs, hs = [], [], [], [], []
+        for k in range(U):
+            gates = xp_blk[k] + jnp.dot(
+                h_scr[:].astype(mxu_dt), kh_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            i, g, f, o, _, th, h_tilde = _lstm_gate_math(gates, c_scr[:])
+            v = v_blk[k][:, None]
+            c_scr[:] = v * (c_scr[:] * f + i * g) + (1.0 - v) * c_scr[:]
+            new_h = v * h_tilde
+            h_scr[:] = new_h + (1.0 - v) * h_scr[:]
+            outs.append(new_h)
+            acts.append(jnp.concatenate([i, g, f, o], axis=-1))
+            ths.append(th)
+            cs.append(c_scr[:])
+            hs.append(h_scr[:])
+        out_ref[pl.ds(t0, U)] = jnp.stack(outs, axis=0)
+        acts_ref[pl.ds(t0, U)] = jnp.stack(acts, axis=0)
+        th_ref[pl.ds(t0, U)] = jnp.stack(ths, axis=0)
+        c_seq_ref[pl.ds(t0, U)] = jnp.stack(cs, axis=0)
+        h_seq_ref[pl.ds(t0, U)] = jnp.stack(hs, axis=0)
+        return 0
+
+    jax.lax.fori_loop(0, T // U, body, 0)
+
+
+def _lstm_bwd_kernel(dy_ref, acts_ref, th_ref, cprev_ref, hprev_ref,
+                     valid_ref, kh_ref, dxp_ref, dkh_ref, dh_scr, dc_scr):
+    """Reverse recurrence: accumulates dL/dx_proj per step and dL/dk_h via a
+    per-step [H,B]x[B,4H] MXU matmul, all in VMEM."""
+    T, B, H = dy_ref.shape
+    U = _lstm_unroll(T)
+    mxu_dt = kh_ref.dtype
+    dh_scr[:] = jnp.zeros_like(dh_scr)
+    dc_scr[:] = jnp.zeros_like(dc_scr)
+    dkh_ref[:] = jnp.zeros_like(dkh_ref)
+
+    def body(it, _):
+        t0 = (T // U - 1 - it) * U
+        dy_blk = dy_ref[pl.ds(t0, U)]
+        acts_blk = acts_ref[pl.ds(t0, U)]
+        th_blk = th_ref[pl.ds(t0, U)]
+        cprev_blk = cprev_ref[pl.ds(t0, U)]
+        hprev_blk = hprev_ref[pl.ds(t0, U)]
+        v_blk = valid_ref[pl.ds(t0, U)]
+        dxps = [None] * U
+        dkh_acc = jnp.zeros_like(dkh_ref)
+        for k in range(U - 1, -1, -1):
+            v = v_blk[k][:, None]
+            acts = acts_blk[k]
+            i, g = acts[:, 0:H], acts[:, H : 2 * H]
+            f, o = acts[:, 2 * H : 3 * H], acts[:, 3 * H : 4 * H]
+            th = th_blk[k]
+            dh_tilde = v * (dy_blk[k] + dh_scr[:])
+            dh_pass = (1.0 - v) * dh_scr[:]
+            dc_tilde = v * dc_scr[:] + dh_tilde * o * (1.0 - th * th)
+            dc_pass = (1.0 - v) * dc_scr[:]
+            do = dh_tilde * th
+            df = dc_tilde * cprev_blk[k]
+            di = dc_tilde * g
+            dg = dc_tilde * i
+            dgates = jnp.concatenate(
+                [
+                    di * i * (1.0 - i),
+                    dg * (1.0 - g * g),
+                    df * f * (1.0 - f),
+                    do * o * (1.0 - o),
+                ],
+                axis=-1,
+            )
+            dxps[k] = dgates
+            dh_scr[:] = dh_pass + jnp.dot(
+                dgates.astype(mxu_dt), kh_ref[:].T,
+                preferred_element_type=jnp.float32,
+            )
+            dc_scr[:] = dc_pass + dc_tilde * f
+            dkh_acc = dkh_acc + jax.lax.dot_general(
+                hprev_blk[k].astype(mxu_dt), dgates.astype(mxu_dt),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        dxp_ref[pl.ds(t0, U)] = jnp.stack(dxps, axis=0)
+        dkh_ref[:] = dkh_ref[:] + dkh_acc
+        return 0
+
+    jax.lax.fori_loop(0, T // U, body, 0)
+
+
+def _lstm_fwd_pallas(x_proj, k_h, valid):
+    T, B, four_h = x_proj.shape
+    H = four_h // 4
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _lstm_fwd_kernel,
+        in_specs=[_vmem()] * 3,
+        out_specs=(_vmem(),) * 5,
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, H), f32),       # h_out sequence
+            jax.ShapeDtypeStruct((T, B, 4 * H), f32),   # gate activations
+            jax.ShapeDtypeStruct((T, B, H), f32),       # tanh(c~)
+            jax.ShapeDtypeStruct((T, B, H), f32),       # carried c
+            jax.ShapeDtypeStruct((T, B, H), f32),       # carried h
+        ),
+        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
+        interpret=_interpret(),
+    )(x_proj, k_h, valid.astype(f32))
+
+
+@jax.custom_vjp
+def fused_lstm_recurrence(x_proj, k_h, valid):
+    """[T, B, 4H] pre-projected inputs (x.W_x + bias), [H, 4H] recurrent
+    kernel, [T, B] validity mask -> [T, B, H] masked output sequence.
+
+    The caller hoists the input projection (one big MXU matmul) and the
+    output transpose; this op is ONLY the sequential part. fp32 compute.
+    The primal (inference) runs a lean kernel with no residual outputs;
+    under jax.grad the VJP forward emits residuals for the reverse kernel.
+    """
+    T, B, four_h = x_proj.shape
+    H = four_h // 4
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _lstm_fwd_lean_kernel,
+        in_specs=[_vmem()] * 3,
+        out_specs=_vmem(),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), f32),
+        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
+        interpret=_interpret(),
+    )(x_proj, k_h, valid.astype(f32))
+
+
+def _fused_lstm_fwd(x_proj, k_h, valid):
+    out, acts, th, c_seq, h_seq = _lstm_fwd_pallas(x_proj, k_h, valid)
+    zrow = jnp.zeros_like(c_seq[:1])
+    c_prev = jnp.concatenate([zrow, c_seq[:-1]], axis=0)
+    h_prev = jnp.concatenate([zrow, h_seq[:-1]], axis=0)
+    # zero-size sentinels carry the primal input dtypes for the cotangents
+    return out, (acts, th, c_prev, h_prev, valid, k_h,
+                 jnp.zeros((0,), x_proj.dtype), jnp.zeros((0,), k_h.dtype))
+
+
+def _fused_lstm_bwd(res, dy):
+    acts, th, c_prev, h_prev, valid, k_h, xp_sent, kh_sent = res
+    T, B, H = dy.shape
+    f32 = jnp.float32
+    dxp, dkh = pl.pallas_call(
+        _lstm_bwd_kernel,
+        in_specs=[_vmem()] * 7,
+        out_specs=(_vmem(), _vmem()),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, B, 4 * H), f32),
+            jax.ShapeDtypeStruct((H, 4 * H), f32),
+        ),
+        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
+        interpret=_interpret(),
+    )(
+        dy.astype(f32), acts, th, c_prev, h_prev,
+        valid.astype(f32), k_h,
+    )
+    return (dxp.astype(xp_sent.dtype), dkh.astype(kh_sent.dtype),
+            jnp.zeros_like(valid))
+
+
+fused_lstm_recurrence.defvjp(_fused_lstm_fwd, _fused_lstm_bwd)
+
+
 @jax.jit
 def fused_highlight_gate(x, weight, bias, v_mask):
     """[B, T, d] features -> (gated features, highlight scores)."""
