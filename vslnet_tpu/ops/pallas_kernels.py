@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 def _interpret():
@@ -331,7 +333,74 @@ def _lstm_bwd_kernel(dy_ref, acts_ref, th_ref, cprev_ref, hprev_ref,
     jax.lax.fori_loop(0, T // U, body, 0)
 
 
-def _lstm_fwd_pallas(x_proj, k_h, valid):
+# GSPMD partitioning: the recurrence is embarrassingly parallel over the
+# batch dim (dim 1 of every [T, B, *] operand) and sequential over T. The
+# Mosaic custom call carries no partitioning info of its own, so without
+# these rules a dp-sharded train step would all-gather the inputs and run
+# the FULL batch redundantly on every chip. custom_partitioning invokes
+# the same pallas call on each chip's batch shard; time/hidden dims are
+# forced replicated (factor names deliberately not shared between operands
+# so sp-style time sharding reshards at this boundary instead of
+# propagating into the sequential kernel).
+
+
+def _partition_lstm_call(raw_fn, in_ranks, in_batched, out_ranks,
+                         out_batched, rule, reduce_out=()):
+    """Wrap `raw_fn` so GSPMD shards dim 1 (batch) of the flagged
+    operands/results over the batch mesh axis and replicates everything
+    else. Outputs listed in `reduce_out` are cross-batch reductions and get
+    a psum in the lowering."""
+    wrapped = custom_partitioning(raw_fn)
+    batched_in = [i for i, f in enumerate(in_batched) if f]
+
+    def _batch_axis(arg_shapes):
+        for idx in batched_in:
+            spec = arg_shapes[idx].sharding.spec
+            if len(spec) > 1 and spec[1] is not None:
+                return spec[1]
+        return None
+
+    def _shard(mesh, b, rank, batched):
+        spec = [None] * rank
+        if batched:
+            spec[1] = b
+        return NamedSharding(mesh, P(*spec))
+
+    def _result_shardings(mesh, b):
+        out = [
+            _shard(mesh, b, r, batched)
+            for r, batched in zip(out_ranks, out_batched)
+        ]
+        return out[0] if len(out) == 1 else tuple(out)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _result_shardings(mesh, _batch_axis(arg_shapes))
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _batch_axis(arg_shapes)
+        arg_sh = tuple(
+            _shard(mesh, b, r, batched)
+            for r, batched in zip(in_ranks, in_batched)
+        )
+
+        def lower(*args):
+            outs = raw_fn(*args)
+            if reduce_out and b is not None:
+                outs = list(outs)
+                for i in reduce_out:
+                    outs[i] = jax.lax.psum(outs[i], b)
+                outs = tuple(outs)
+            return outs
+
+        return mesh, lower, _result_shardings(mesh, b), arg_sh
+
+    wrapped.def_partition(partition=partition,
+                          infer_sharding_from_operands=infer,
+                          sharding_rule=rule)
+    return wrapped
+
+
+def _lstm_fwd_res_raw(x_proj, k_h, valid):
     T, B, four_h = x_proj.shape
     H = four_h // 4
     f32 = jnp.float32
@@ -348,7 +417,41 @@ def _lstm_fwd_pallas(x_proj, k_h, valid):
         ),
         scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
         interpret=_interpret(),
-    )(x_proj, k_h, valid.astype(f32))
+    )(x_proj, k_h, valid)
+
+
+_lstm_fwd_res_part = _partition_lstm_call(
+    _lstm_fwd_res_raw,
+    in_ranks=(3, 2, 2), in_batched=(True, False, True),
+    out_ranks=(3, 3, 3, 3, 3), out_batched=(True,) * 5,
+    rule="t1 b f1, h1 f2, t2 b -> t3 b h2, t4 b f3, t5 b h3, t6 b h4, t7 b h5",
+)
+
+
+def _lstm_fwd_pallas(x_proj, k_h, valid):
+    return _lstm_fwd_res_part(x_proj, k_h, valid.astype(jnp.float32))
+
+
+def _lstm_fwd_lean_raw(x_proj, k_h, valid):
+    T, B, four_h = x_proj.shape
+    H = four_h // 4
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _lstm_fwd_lean_kernel,
+        in_specs=[_vmem()] * 3,
+        out_specs=_vmem(),
+        out_shape=jax.ShapeDtypeStruct((T, B, H), f32),
+        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
+        interpret=_interpret(),
+    )(x_proj, k_h, valid)
+
+
+_lstm_fwd_lean_part = _partition_lstm_call(
+    _lstm_fwd_lean_raw,
+    in_ranks=(3, 2, 2), in_batched=(True, False, True),
+    out_ranks=(3,), out_batched=(True,),
+    rule="t1 b f1, h1 f2, t2 b -> t3 b h2",
+)
 
 
 @jax.custom_vjp
@@ -361,17 +464,7 @@ def fused_lstm_recurrence(x_proj, k_h, valid):
     The primal (inference) runs a lean kernel with no residual outputs;
     under jax.grad the VJP forward emits residuals for the reverse kernel.
     """
-    T, B, four_h = x_proj.shape
-    H = four_h // 4
-    f32 = jnp.float32
-    return pl.pallas_call(
-        _lstm_fwd_lean_kernel,
-        in_specs=[_vmem()] * 3,
-        out_specs=_vmem(),
-        out_shape=jax.ShapeDtypeStruct((T, B, H), f32),
-        scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
-        interpret=_interpret(),
-    )(x_proj, k_h, valid.astype(f32))
+    return _lstm_fwd_lean_part(x_proj, k_h, valid.astype(jnp.float32))
 
 
 def _fused_lstm_fwd(x_proj, k_h, valid):
@@ -384,11 +477,10 @@ def _fused_lstm_fwd(x_proj, k_h, valid):
                  jnp.zeros((0,), x_proj.dtype), jnp.zeros((0,), k_h.dtype))
 
 
-def _fused_lstm_bwd(res, dy):
-    acts, th, c_prev, h_prev, valid, k_h, xp_sent, kh_sent = res
+def _lstm_bwd_raw(dy, acts, th, c_prev, h_prev, valid, k_h):
     T, B, H = dy.shape
     f32 = jnp.float32
-    dxp, dkh = pl.pallas_call(
+    return pl.pallas_call(
         _lstm_bwd_kernel,
         in_specs=[_vmem()] * 7,
         out_specs=(_vmem(), _vmem()),
@@ -398,9 +490,25 @@ def _fused_lstm_bwd(res, dy):
         ),
         scratch_shapes=[pltpu.VMEM((B, H), f32), pltpu.VMEM((B, H), f32)],
         interpret=_interpret(),
-    )(
-        dy.astype(f32), acts, th, c_prev, h_prev,
-        valid.astype(f32), k_h,
+    )(dy, acts, th, c_prev, h_prev, valid, k_h)
+
+
+_lstm_bwd_part = _partition_lstm_call(
+    _lstm_bwd_raw,
+    in_ranks=(3, 3, 3, 3, 3, 2, 2),
+    in_batched=(True, True, True, True, True, True, False),
+    out_ranks=(3, 2), out_batched=(True, False),
+    rule=("t1 b h1, t2 b g1, t3 b h2, t4 b h3, t5 b h4, t6 b, h5 g2"
+          " -> t7 b g3, h6 g4"),
+    reduce_out=(1,),  # dkh sums over the batch shards
+)
+
+
+def _fused_lstm_bwd(res, dy):
+    acts, th, c_prev, h_prev, valid, k_h, xp_sent, kh_sent = res
+    f32 = jnp.float32
+    dxp, dkh = _lstm_bwd_part(
+        dy.astype(f32), acts, th, c_prev, h_prev, valid.astype(f32), k_h
     )
     return (dxp.astype(xp_sent.dtype), dkh.astype(kh_sent.dtype),
             jnp.zeros_like(valid))
