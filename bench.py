@@ -54,7 +54,7 @@ def _time_windows(step_fn, n_windows=3, n_steps=100):
     }
 
 
-def bench_predictor(predictor):
+def bench_predictor(predictor, use_pallas=False):
     from vslnet_tpu.config import Config
     from vslnet_tpu.data.synthetic import synthetic_dataset
     from vslnet_tpu.parallel.mesh import make_mesh, shard_batch
@@ -70,6 +70,7 @@ def bench_predictor(predictor):
         precision="bf16",
         epochs=1,
         log_to_tensorboard=False,
+        use_pallas=use_pallas,
     )
     dataset, feats = synthetic_dataset(
         n_train=256, n_test=16, n_videos=16, n_words=1000, n_chars=40,
@@ -154,6 +155,9 @@ def main():
 
     enable_compilation_cache()
     results = {p: bench_predictor(p) for p in ("transformer", "rnn")}
+    # the fused Pallas recurrence (ops/pallas_kernels.py) is the measured
+    # winner for the rnn head; report it alongside the scan path
+    results["rnn_pallas"] = bench_predictor("rnn", use_pallas=True)
     headline = results["transformer"]["device_steps_per_sec"]["median"]
     print(
         json.dumps(
@@ -168,6 +172,7 @@ def main():
                 ),
                 "transformer": results["transformer"],
                 "rnn": results["rnn"],
+                "rnn_pallas": results["rnn_pallas"],
             }
         )
     )

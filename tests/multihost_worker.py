@@ -11,7 +11,8 @@ paths the suite cannot reach single-process (SURVEY.md §2.7):
 - global-batch assembly from process-local rows via
   jax.make_array_from_process_local_data (parallel/mesh.py shard_batch)
 - the global 8-device ('data',) train mesh spanning both processes
-- the host-local eval mesh + device_get re-placement (train/runner.py)
+- global-mesh eval: per-host B/P rows of every eval batch + replicated
+  [B] index outputs, params evaluated in place (train/runner.py)
 
 Prints one RESULT line; the parent test asserts both processes print
 identical losses and metrics.
@@ -58,7 +59,7 @@ def main(coordinator, pid, workdir):
     )
     runner = Runner(configs, dataset, feats)
     assert runner.mesh.devices.size == 8  # global mesh spans both processes
-    assert runner.eval_mesh is not runner.mesh  # host-local eval mesh
+    assert runner.eval_mesh is runner.mesh  # eval runs on the global mesh
     assert runner.train_loader.batch_size == 4  # B/P local rows per host
     assert runner.train_loader.num_samples() == 8  # host-sharded train split
 

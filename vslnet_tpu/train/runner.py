@@ -165,8 +165,18 @@ def make_train_step(model, tx, configs):
     return train_step
 
 
-def make_eval_step(model, use_pallas=False):
-    @jax.jit
+def make_eval_step(model, use_pallas=False, mesh=None):
+    # the decoded indices are tiny [B] int32 arrays; replicating them via
+    # out_shardings (an all-gather of ~B*4 bytes) makes them addressable on
+    # every host, so multi-host eval never moves params or features around
+    jit_kwargs = {}
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rep = NamedSharding(mesh, PartitionSpec())
+        jit_kwargs["out_shardings"] = (rep, rep)
+
+    @functools.partial(jax.jit, **jit_kwargs)
     def eval_step(params, frozen, batch, bank=None, split=None):
         batch = _materialize(batch, bank, split, train=False)
         out = model.apply(
@@ -209,12 +219,33 @@ def prefetch_to_device(iterator, mesh, depth=2):
         yield queue.popleft()
 
 
+def _host_rows(iterator):
+    """Multi-host eval feeding: every host iterates the SAME full test set
+    (records kept whole for metrics) but contributes only its contiguous
+    B/P rows of each global batch — shard_batch then assembles the global
+    array from the per-process slices, mirroring the train path."""
+    pid, nproc = jax.process_index(), jax.process_count()
+    for records, batch in iterator:
+        sliced = {}
+        for k, v in batch.items():
+            if v.shape[0] % nproc:
+                raise ValueError(
+                    "eval batch dim %d must divide by process count %d"
+                    % (v.shape[0], nproc)
+                )
+            rows = v.shape[0] // nproc
+            sliced[k] = v[pid * rows : (pid + 1) * rows]
+        yield records, sliced
+
+
 def eval_test(eval_step, params, frozen, data_loader, mesh=None,
               epoch=None, global_step=None, mode="test", bank=None,
               split=None):
     ious = []
     it = data_loader.test_iter(mode)
     if mesh is not None:
+        if jax.process_count() > 1:
+            it = _host_rows(it)
         it = prefetch_to_device(it, mesh)
     for records, batch in it:
         start_indexes, end_indexes = eval_step(params, frozen, batch,
@@ -390,22 +421,18 @@ class Runner:
         self.frozen = replicate(frozen, self.mesh)
         self.opt_state = replicate(opt_state, self.mesh)
         self._train_step = make_train_step(self.model, self.tx, configs)
+        # evaluation runs on the SAME global mesh as training: params and
+        # the feature bank stay sharded in place, every host feeds its own
+        # B/P rows of each global eval batch (eval_test._host_rows), and the
+        # tiny [B] decoded-index outputs are REPLICATED via out_shardings so
+        # each host reads identical arrays and computes identical metrics —
+        # no device_get of the params, no per-host copy of the bank (the
+        # round-1 host-local eval mesh pulled the full params through the
+        # host every eval, which cannot scale past toy param counts)
+        self.eval_mesh = self.mesh
         self._eval_step = make_eval_step(
-            self.model, use_pallas=bool(configs.use_pallas)
+            self.model, use_pallas=bool(configs.use_pallas), mesh=self.mesh
         )
-        # evaluation mesh: host-local on multi-host runs (every host runs
-        # the full test set independently — identical metrics, no cross-host
-        # gathers, and outputs stay addressable for np.asarray)
-        if jax.process_count() > 1:
-            local = jax.local_devices()
-            dp_eval = 1
-            for d in range(len(local), 0, -1):
-                if configs.batch_size % d == 0:
-                    dp_eval = d
-                    break
-            self.eval_mesh = make_mesh(dp_eval, devices=local)
-        else:
-            self.eval_mesh = self.mesh
         self.device_bank = self.eval_bank = None
         self.train_split_dev = None
         self.eval_split_dev = {}
@@ -419,18 +446,13 @@ class Runner:
             self.device_bank = jax.device_put(
                 bank_np, NamedSharding(self.mesh, spec)
             )
-            self.eval_bank = (
-                self.device_bank if self.eval_mesh is self.mesh
-                else jax.device_put(
-                    bank_np, NamedSharding(self.eval_mesh, P())
-                )
-            )
+            self.eval_bank = self.device_bank
             if layout == "idxs":
                 self.train_split_dev = place_split(
                     self.train_loader.split.host_arrays(), self.mesh
                 )
                 self.eval_split_dev = {
-                    mode: place_split(sp.host_arrays(), self.eval_mesh)
+                    mode: place_split(sp.host_arrays(), self.mesh)
                     for mode, sp in self.test_loader.splits.items()
                 }
         self.home_dir = configs.home_dir()
@@ -457,15 +479,8 @@ class Runner:
         return self._eval_step(params, frozen, batch, bank=bank, split=split)
 
     def evaluate(self, mode="test", epoch=None, global_step=None):
-        if self.eval_mesh is self.mesh:
-            params, frozen = self.params, self.frozen
-        else:
-            # multi-host: pull the (fully replicated) params to host and
-            # re-place them on the local eval mesh
-            params = replicate(jax.device_get(self.params), self.eval_mesh)
-            frozen = replicate(jax.device_get(self.frozen), self.eval_mesh)
         return eval_test(
-            self.eval_step, params, frozen, self.test_loader,
+            self.eval_step, self.params, self.frozen, self.test_loader,
             mesh=self.eval_mesh, epoch=epoch, global_step=global_step,
             mode=mode, bank=self.eval_bank,
             split=self.eval_split_dev.get(mode),
