@@ -11,13 +11,17 @@ are not distributed with the repo), measured for BOTH predictor heads:
 
 and in TWO regimes:
 
-- `device`: pre-sharded device batches — pure chip throughput
+- `device`: pre-sharded device batches, one dispatch per step
 - `end_to_end`: through TrainLoader.batch_iter + prefetch_to_device, i.e.
-  the same host pipeline the real train loop pays (train/runner.py)
+  the per-step host pipeline (train/runner.py)
+- `fused`: the DEFAULT train path (fused_steps=auto) — lax.scan runs K=100
+  optimization steps per dispatch on the device-resident dataset
+  (make_train_many), incl. the per-chunk loss readback the real loop pays
 
-Prints ONE JSON line. Headline `value` = transformer device steps/s
-(median of 3 windows) for round-over-round comparability; the full
-breakdown (spread, e2e, rnn, examples/s, MFU) rides along as extra keys.
+Prints ONE JSON line. Headline `value` = transformer fused steps/s
+(median of 3 windows, the real default-loop rate); the full breakdown
+(spread, per-step device/e2e, rnn, examples/s, MFU) rides along as extra
+keys.
 
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 `vs_baseline` divides by an ESTIMATED 20 steps/s for the reference TF
@@ -135,19 +139,55 @@ def bench_predictor(predictor, use_pallas=False):
     jax.block_until_ready(state["params"])
     e2e = _time_windows(run_e2e)
 
+    # fused multi-step regime: the DEFAULT train path on device-resident
+    # data (fused_steps=auto, runner.py make_train_many) — one dispatch
+    # carries a [K,B] id block and lax.scan runs K whole optimization
+    # steps on-device; mirrors Runner.train's chunk loop incl. the
+    # per-chunk loss readback the real loop pays for logging
+    fused = None
+    if runner.use_fused_steps:
+        blocks = np.concatenate(
+            [runner.train_loader.epoch_idxs() for _ in range(10)], axis=0
+        )
+
+        def run_fused(n_steps):
+            state["params"], state["opt"], m = runner.train_many(
+                state["params"], runner.frozen, state["opt"],
+                jax.device_put(blocks[:n_steps]), runner.rng, 0,
+            )
+            state["m"] = {k: v[-1] for k, v in m.items()}
+            np.asarray(m["loss"])  # chunk sync, as in the real loop
+            return state["params"]
+
+        run_fused(5)
+        run_fused(100)  # compile the timed K
+        jax.block_until_ready(state["params"])
+        fused = _time_windows(run_fused)
+
     assert np.isfinite(float(state["m"]["loss"]))
     mfu_pct = (
         round(100.0 * flops_per_step * device["median"] / V5E_BF16_PEAK_FLOPS, 3)
         if np.isfinite(flops_per_step)
         else None
     )
-    return {
+    out = {
         "device_steps_per_sec": device,
         "end_to_end_steps_per_sec": e2e,
         "examples_per_sec": round(e2e["median"] * configs.batch_size, 1),
         "flops_per_step": flops_per_step if np.isfinite(flops_per_step) else None,
         "mfu_pct": mfu_pct,
     }
+    if fused is not None:
+        out["fused_steps_per_sec"] = fused
+        out["examples_per_sec"] = round(
+            fused["median"] * configs.batch_size, 1
+        )
+        if np.isfinite(flops_per_step):
+            out["mfu_pct_fused"] = round(
+                100.0 * flops_per_step * fused["median"]
+                / V5E_BF16_PEAK_FLOPS, 3,
+            )
+    return out
 
 
 def main():
@@ -158,7 +198,12 @@ def main():
     # the fused Pallas recurrence (ops/pallas_kernels.py) is the measured
     # winner for the rnn head; report it alongside the scan path
     results["rnn_pallas"] = bench_predictor("rnn", use_pallas=True)
-    headline = results["transformer"]["device_steps_per_sec"]["median"]
+    # headline = the throughput of the DEFAULT train path: fused multi-step
+    # (lax.scan K steps/dispatch) when active, else per-step device rate
+    t = results["transformer"]
+    headline = (
+        t.get("fused_steps_per_sec") or t["device_steps_per_sec"]
+    )["median"]
     print(
         json.dumps(
             {

@@ -365,3 +365,42 @@ def test_device_bank_matches_vfeats_path(tmp_path):
                              shard_batch(tb_off, r_off.mesh))
     np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
     np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+def test_fused_steps_match_per_step(tmp_path):
+    """fused_steps=auto (lax.scan over K steps per dispatch, one [K,B] id
+    block H2D per chunk) must reproduce the per-step path: same rng folding
+    (absolute 0-based step), same shuffle stream, same eval cadence and
+    best-checkpoint gating — final params and best metric must agree."""
+    cfg_f = tiny_configs(tmp_path / "f", epochs=2)
+    cfg_o = tiny_configs(tmp_path / "o", epochs=2, fused_steps="off")
+    dataset, feats = tiny_data(cfg_f, seed=3)
+    r_f = Runner(cfg_f, dataset, feats)
+    r_o = Runner(cfg_o, dataset, feats)
+    assert r_f.use_fused_steps and not r_o.use_fused_steps
+    res_f = r_f.train(verbose=False)
+    res_o = r_o.train(verbose=False)
+    assert res_f["global_step"] == res_o["global_step"]
+    assert res_f["best_r1i7"] == res_o["best_r1i7"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        ),
+        r_f.params, r_o.params,
+    )
+    # identical per-step losses reach the logger (period=2 cadence)
+    import json
+
+    def logged(runner):
+        path = os.path.join(runner.log_dir, "metrics.jsonl")
+        out = {}
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("tag") == "train/loss":
+                    out[rec["step"]] = rec["value"]
+        return out
+
+    lf, lo = logged(r_f), logged(r_o)
+    assert set(lf) == set(lo) and len(lf) > 0
+    for s in lf:
+        np.testing.assert_allclose(lf[s], lo[s], atol=1e-6, rtol=1e-6)

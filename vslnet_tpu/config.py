@@ -52,6 +52,8 @@ class Config:
     dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
     sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
+    fused_steps: str = "auto"          # [auto|off] lax.scan K train steps per
+                                       # dispatch (device-resident data only)
     word_size: Optional[int] = None    # vocab cap (torch-ref main_t7.py flag)
     l2_decay: float = 3e-7             # kernel l2 regularization scale
     optimizer: str = "bert_adamw"      # [bert_adamw (TF ref) | adamw (t7 ref)]

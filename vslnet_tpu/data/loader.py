@@ -266,6 +266,18 @@ class TrainLoader:
                 idxs, self.batch_size, layout=self.layout
             )
 
+    def epoch_idxs(self):
+        """One epoch's record indices as a [num_batches, B] int32 array
+        (-1 padding in the final short batch) — the whole-epoch input of the
+        fused multi-step train path (train/runner.py make_train_many).
+        Draws from the same shuffle stream as batch_iter, so a fused epoch
+        and a per-step epoch see identical batch sequences."""
+        order = self.rng.permutation(self.split.n).astype(np.int32)
+        nb = self.num_batches()
+        ids = np.full((nb * self.batch_size,), -1, np.int32)
+        ids[: self.split.n] = order
+        return ids.reshape(nb, self.batch_size)
+
 
 class TestLoader:
     def __init__(self, datasets, visual_features, configs, max_w=None,

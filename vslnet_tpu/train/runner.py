@@ -113,7 +113,7 @@ def _materialize(batch, bank, split, train):
     return batch
 
 
-def make_train_step(model, tx, configs):
+def _make_loss_fn(model, configs):
     drop_rate = float(configs.drop_rate)
     lam = float(configs.highlight_lambda)
     l2_scale = float(configs.l2_decay)
@@ -149,6 +149,12 @@ def make_train_step(model, tx, configs):
         total = loss + lam * hl
         return total, (loss, hl)
 
+    return loss_fn
+
+
+def make_train_step(model, tx, configs):
+    loss_fn = _make_loss_fn(model, configs)
+
     # donate params + opt_state buffers: they are consumed and rebuilt every
     # step, so XLA can update in place instead of allocating fresh HBM
     @functools.partial(jax.jit, donate_argnums=(0, 2))
@@ -163,6 +169,44 @@ def make_train_step(model, tx, configs):
         return params, opt_state, {"loss": loss, "highlight_loss": hl}
 
     return train_step
+
+
+def make_train_many(model, tx, configs):
+    """Fused multi-step training: a lax.scan over K optimization steps
+    inside ONE jitted program.
+
+    With the dataset device-resident (the "idxs" batch layout), one host
+    dispatch carries a [K, B] int32 id block and the device runs K whole
+    steps back-to-back — the per-step Python/dispatch overhead that
+    dominates this dispatch-bound model (~1 ms/step through the remote
+    tunnel vs ~0.1-0.3 ms of compute) is paid once per chunk instead of
+    once per step. Math is IDENTICAL to K calls of make_train_step: same
+    absolute-step rng folding, same batch order (loader.epoch_idxs draws
+    from the same shuffle stream), same donated-buffer updates; per-step
+    losses come back stacked for the host-side period logging."""
+    loss_fn = _make_loss_fn(model, configs)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 2))
+    def train_many(params, frozen, opt_state, idxs, rng, step0, bank=None,
+                   split=None):
+        def body(carry, x):
+            params, opt_state = carry
+            step, ids = x
+            step_rng = jax.random.fold_in(rng, step)
+            grads, (loss, hl) = jax.grad(loss_fn, has_aux=True)(
+                params, frozen, {"idxs": ids}, step_rng, bank, split
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, hl)
+
+        steps = step0 + jnp.arange(idxs.shape[0], dtype=jnp.int32)
+        (params, opt_state), (losses, hls) = jax.lax.scan(
+            body, (params, opt_state), (steps, idxs)
+        )
+        return params, opt_state, {"loss": losses, "highlight_loss": hls}
+
+    return train_many
 
 
 def make_eval_step(model, use_pallas=False, mesh=None):
@@ -421,6 +465,13 @@ class Runner:
         self.frozen = replicate(frozen, self.mesh)
         self.opt_state = replicate(opt_state, self.mesh)
         self._train_step = make_train_step(self.model, self.tx, configs)
+        # fused multi-step path: needs the fully device-resident dataset
+        fused_setting = str(getattr(configs, "fused_steps", "auto"))
+        self.use_fused_steps = layout == "idxs" and fused_setting != "off"
+        self._train_many = (
+            make_train_many(self.model, self.tx, configs)
+            if self.use_fused_steps else None
+        )
         # evaluation runs on the SAME global mesh as training: params and
         # the feature bank stay sharded in place, every host feeds its own
         # B/P rows of each global eval batch (eval_test._host_rows), and the
@@ -470,6 +521,12 @@ class Runner:
         split = self.train_split_dev if "idxs" in batch else None
         return self._train_step(params, frozen, opt_state, batch, rng, step,
                                 bank=bank, split=split)
+
+    def train_many(self, params, frozen, opt_state, idxs_chunk, rng, step0):
+        """K fused steps ([K, B] id block) on the device-resident dataset."""
+        return self._train_many(params, frozen, opt_state, idxs_chunk, rng,
+                                step0, bank=self.device_bank,
+                                split=self.train_split_dev)
 
     def eval_step(self, params, frozen, batch, bank=None, split=None):
         if "vfeats" not in batch and bank is None:
@@ -534,7 +591,92 @@ class Runner:
             profile_start = -1
         profile_end = profile_start + configs.profile_steps
         profiling_active = False
+        # the fused multi-step path needs the device-resident dataset and is
+        # incompatible with the per-step profiler window
+        fused = self.use_fused_steps and not configs.profile_steps
         with open(score_path, mode=score_mode, encoding="utf-8") as score_writer:
+
+            def log_period(step, epoch, loss, h_loss, steps_per_sec):
+                writer.write(
+                    [("train/loss", loss),
+                     ("train/highlight_loss", h_loss),
+                     ("train/steps_per_sec", steps_per_sec)],
+                    step,
+                )
+                if verbose:
+                    print(
+                        "Epoch %3d | Step %6d | loss %.4f | h_loss %.4f"
+                        % (epoch + 1, step, loss, h_loss),
+                        flush=True,
+                    )
+
+            def maybe_eval(epoch):
+                nonlocal best_r1i7
+                if not (global_step % eval_period == 0
+                        or global_step % num_train_batches == 0):
+                    return
+                r1i3, r1i5, r1i7, mi, value_pairs, score_str = (
+                    self.evaluate(mode="test", epoch=epoch + 1,
+                                  global_step=global_step)
+                )
+                if verbose:
+                    print(
+                        "\nEpoch: %2d | Step: %5d | r1i3: %.2f | "
+                        "r1i5: %.2f | r1i7: %.2f | mIoU: %.2f"
+                        % (epoch + 1, global_step, r1i3, r1i5, r1i7, mi),
+                        flush=True,
+                    )
+                writer.write(value_pairs, global_step)
+                score_writer.write(score_str)
+                score_writer.flush()
+                if r1i7 > best_r1i7:
+                    best_r1i7 = r1i7
+                    ckpt.save(
+                        global_step, self.params, self.opt_state,
+                        extra={"r1i7": r1i7, "step": global_step},
+                    )
+
+            while global_step < target_steps and fused:
+                epoch = global_step // num_train_batches
+                # [nb, B]: batch axis sharded over 'data' exactly like the
+                # per-step path's shard_batch; step axis replicated
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                epoch_ids = jax.device_put(
+                    self.train_loader.epoch_idxs(),
+                    NamedSharding(self.mesh, P(None, "data")),
+                )
+                nb, pos = epoch_ids.shape[0], 0
+                while pos < nb and global_step < target_steps:
+                    # chunk up to the next boundary the host must act at:
+                    # eval cadence, the %num_train_batches eval mark, the
+                    # step budget, or this epoch's remaining batches
+                    stop = min(
+                        (global_step // eval_period + 1) * eval_period,
+                        (global_step // num_train_batches + 1)
+                        * num_train_batches,
+                        target_steps,
+                        global_step + (nb - pos),
+                    )
+                    k = stop - global_step
+                    t0 = time.time()
+                    self.params, self.opt_state, m = self.train_many(
+                        self.params, self.frozen, self.opt_state,
+                        epoch_ids[pos : pos + k], self.rng, global_step,
+                    )
+                    losses = np.asarray(m["loss"])  # syncs the chunk
+                    h_losses = np.asarray(m["highlight_loss"])
+                    steps_per_sec = k / max(time.time() - t0, 1e-9)
+                    for s in range(global_step + 1, stop + 1):
+                        if s % configs.period == 0:
+                            log_period(
+                                s, epoch, float(losses[s - global_step - 1]),
+                                float(h_losses[s - global_step - 1]),
+                                steps_per_sec,
+                            )
+                    global_step, pos = stop, pos + k
+                    maybe_eval(epoch)
+
             while global_step < target_steps:
                 epoch = global_step // num_train_batches
                 for _, batch in prefetch_to_device(
@@ -559,46 +701,13 @@ class Runner:
                                   % os.path.join(self.log_dir, "profile"),
                                   flush=True)
                     if global_step % configs.period == 0:
-                        loss = float(m["loss"])
-                        h_loss = float(m["highlight_loss"])
                         now = time.time()
                         steps_per_sec = configs.period / max(
                             now - period_t0, 1e-9)
                         period_t0 = now
-                        writer.write(
-                            [("train/loss", loss),
-                             ("train/highlight_loss", h_loss),
-                             ("train/steps_per_sec", steps_per_sec)],
-                            global_step,
-                        )
-                        if verbose:
-                            print(
-                                "Epoch %3d | Step %6d | loss %.4f | h_loss %.4f"
-                                % (epoch + 1, global_step, loss, h_loss),
-                                flush=True,
-                            )
-                    if (global_step % eval_period == 0
-                            or global_step % num_train_batches == 0):
-                        r1i3, r1i5, r1i7, mi, value_pairs, score_str = (
-                            self.evaluate(mode="test", epoch=epoch + 1,
-                                          global_step=global_step)
-                        )
-                        if verbose:
-                            print(
-                                "\nEpoch: %2d | Step: %5d | r1i3: %.2f | "
-                                "r1i5: %.2f | r1i7: %.2f | mIoU: %.2f"
-                                % (epoch + 1, global_step, r1i3, r1i5, r1i7, mi),
-                                flush=True,
-                            )
-                        writer.write(value_pairs, global_step)
-                        score_writer.write(score_str)
-                        score_writer.flush()
-                        if r1i7 > best_r1i7:
-                            best_r1i7 = r1i7
-                            ckpt.save(
-                                global_step, self.params, self.opt_state,
-                                extra={"r1i7": r1i7, "step": global_step},
-                            )
+                        log_period(global_step, epoch, float(m["loss"]),
+                                   float(m["highlight_loss"]), steps_per_sec)
+                    maybe_eval(epoch)
         if profiling_active:
             # training ended inside the capture window
             jax.block_until_ready(self.params)
