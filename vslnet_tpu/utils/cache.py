@@ -23,6 +23,31 @@ def enable_compilation_cache():
     cache_dir = setting or os.path.join(
         os.path.expanduser("~"), ".cache", "vslnet_tpu", "xla"
     )
+    # Scope the cache by host CPU microarchitecture: XLA:CPU stores AOT
+    # machine code keyed only by program, so an entry compiled on a host
+    # with different CPU features (VM migration, shared cache dir) loads
+    # but can SIGILL/abort at execution ("Machine type used for XLA:CPU
+    # compilation doesn't match the machine type for execution"). TPU
+    # executables embed their own compatibility checks; the host signature
+    # subdir makes stale-machine reuse structurally impossible for both.
+    try:
+        import hashlib
+        import platform
+
+        sig_src = platform.machine() + ":" + platform.processor()
+        try:
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    if line.startswith("flags"):
+                        sig_src += ":" + line.strip()
+                        break
+        except OSError:
+            pass
+        cache_dir = os.path.join(
+            cache_dir, hashlib.sha256(sig_src.encode()).hexdigest()[:12]
+        )
+    except Exception:
+        pass
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
