@@ -45,11 +45,16 @@ V5E_BF16_PEAK_FLOPS = 197e12
 
 
 def _time_windows(step_fn, n_windows=3, n_steps=100):
+    # step_fn must return an array that depends on the LAST step; np.asarray
+    # forces a real device-to-host fetch. jax.block_until_ready is NOT a
+    # sync barrier on the tunneled axon backend (measured: "block" reports
+    # ~2x the rate a real fetch does), so timing with it measures dispatch
+    # throughput, not compute.
     rates = []
     for _ in range(n_windows):
         t0 = time.perf_counter()
         out = step_fn(n_steps)
-        jax.block_until_ready(out)
+        np.asarray(out)
         rates.append(n_steps / (time.perf_counter() - t0))
     return {
         "median": round(float(np.median(rates)), 2),
@@ -100,11 +105,10 @@ def bench_predictor(predictor, use_pallas=False):
                 state["params"], runner.frozen, state["opt"],
                 batches[i % len(batches)], runner.rng, i,
             )
-        return state["params"]
+        return state["m"]["loss"]
 
     # warmup / compile
-    run_device(5)
-    jax.block_until_ready(state["params"])
+    np.asarray(run_device(5))
 
     # XLA's own FLOP count for one train step (fwd+bwd+AdamW)
     try:
@@ -133,10 +137,9 @@ def bench_predictor(predictor, use_pallas=False):
                 done += 1
                 if done >= n_steps:
                     break
-        return state["params"]
+        return state["m"]["loss"]
 
-    run_e2e(5)
-    jax.block_until_ready(state["params"])
+    np.asarray(run_e2e(5))
     e2e = _time_windows(run_e2e)
 
     # fused multi-step regime: the DEFAULT train path on device-resident
@@ -156,12 +159,10 @@ def bench_predictor(predictor, use_pallas=False):
                 jax.device_put(blocks[:n_steps]), runner.rng, 0,
             )
             state["m"] = {k: v[-1] for k, v in m.items()}
-            np.asarray(m["loss"])  # chunk sync, as in the real loop
-            return state["params"]
+            return m["loss"]
 
-        run_fused(5)
-        run_fused(100)  # compile the timed K
-        jax.block_until_ready(state["params"])
+        np.asarray(run_fused(5))
+        np.asarray(run_fused(100))  # compile the timed K
         fused = _time_windows(run_fused)
 
     assert np.isfinite(float(state["m"]["loss"]))
