@@ -404,3 +404,16 @@ def test_fused_steps_match_per_step(tmp_path):
     assert set(lf) == set(lo) and len(lf) > 0
     for s in lf:
         np.testing.assert_allclose(lf[s], lo[s], atol=1e-6, rtol=1e-6)
+
+def test_fused_eval_matches_per_batch(tmp_path):
+    """Fused whole-split eval (one lax.scan dispatch over [nb,B] id blocks)
+    must produce identical metrics to the per-batch eval loop."""
+    cfg = tiny_configs(tmp_path, epochs=1)
+    dataset, feats = tiny_data(cfg, seed=5)
+    runner = Runner(cfg, dataset, feats)
+    assert runner._eval_many is not None
+    fused = runner.evaluate(mode="test")
+    runner._eval_many = None  # force the per-batch eval_test path
+    batched = runner.evaluate(mode="test")
+    assert fused[:4] == batched[:4]
+    assert fused[5] == batched[5]  # identical eval_results.txt line

@@ -48,7 +48,11 @@ class Config:
     max_words: Optional[int] = None    # static query-word cap (None: from data)
     max_chars: Optional[int] = None    # static word-char cap (None: from data)
     precision: str = "fp32"            # [fp32 | bf16] compute precision
-    use_pallas: bool = False           # fused Pallas kernels for hot blocks
+    use_pallas: str = "auto"           # [auto | on | off] fused Pallas
+    #   kernels. auto: only the measured winners (the fused LSTM recurrence
+    #   in the rnn predictor); on: additionally the CQA / highlight-gate /
+    #   span-decode fusions (these lose to XLA at reference shapes — see
+    #   README crossover table); off: none. true/false alias on/off.
     dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
     sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
@@ -99,11 +103,31 @@ class Config:
         return home
 
 
+def pallas_flags(configs):
+    """Resolve the use_pallas setting into per-kernel gates.
+
+    'lstm' — the fused LSTM recurrence (ops/pallas_kernels.py), the
+    measured winner at every benched shape: on under auto/on/true.
+    'fusion' — the CQA / highlight-gate / span-decode fused kernels,
+    which lose to XLA's reassociated forms at reference shapes: explicit
+    on/true only. Bool values (legacy flag form) alias on/off.
+    """
+    s = str(getattr(configs, "use_pallas", "auto")).lower()
+    all_on = s in ("on", "true", "1", "yes")
+    if s == "auto":
+        # the win is a TPU result; off-TPU the kernels only run in
+        # interpreter mode (correct but slow), so auto leaves them off
+        import jax
+
+        return {"lstm": jax.default_backend() != "cpu", "fusion": False}
+    return {"lstm": all_on, "fusion": all_on}
+
+
 def build_parser():
     parser = argparse.ArgumentParser(description="vslnet_tpu")
     for field in dataclasses.fields(Config):
         default = field.default
-        if field.name in ("use_pallas", "log_to_tensorboard", "resume",
+        if field.name in ("log_to_tensorboard", "resume",
                           "remat", "cqa_bias", "feature_cache"):
             parser.add_argument(
                 "--" + field.name,

@@ -319,3 +319,15 @@ class TestLoader:
             yield records, split.gather(
                 idxs, self.batch_size, layout=self.layout
             )
+
+    def eval_idxs(self, mode="test"):
+        """The whole split as a [num_batches, B] block of sequential record
+        ids (-1 tail padding) — the input of the fused whole-split eval
+        path (train/runner.py make_eval_many). Row r equals the ids of
+        test_iter's r-th batch, so per-record results line up with
+        `self._split(mode).records` order."""
+        split = self._split(mode)
+        nb = self.num_batches(mode)
+        ids = np.full((nb * self.batch_size,), -1, np.int32)
+        ids[: split.n] = np.arange(split.n, dtype=np.int32)
+        return ids.reshape(nb, self.batch_size)

@@ -11,7 +11,7 @@ Forward graph:
 Returns raw logits + highlight scores; losses/decoding live in losses.py so
 train/eval steps stay pure functions.
 """
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -43,6 +43,8 @@ class VSLNet(nn.Module):
     word_vectors_shape: Tuple[int, int] = (100, 300)
     dtype: Any = jnp.float32
     use_pallas: bool = False  # fused inference kernels (CQA, highlight gate)
+    lstm_pallas: Optional[bool] = None  # fused LSTM recurrence in the rnn
+    #   predictor (the measured winner); None: follow use_pallas
     cqa_bias: bool = False    # t7-dialect CQA output bias (checkpoint import)
     # BERT text-encoder variant (BASELINE.json config 5): replaces
     # GloVe+charCNN at the model/VSLNet.py:43-48 boundary; word_ids are then
@@ -125,7 +127,9 @@ class VSLNet(nn.Module):
         start_logits, end_logits = ConditionedPredictor(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             max_position_length=self.max_pos_len, mode=self.predictor,
-            dtype=self.dtype, use_pallas=self.use_pallas,
+            dtype=self.dtype,
+            use_pallas=(self.use_pallas if self.lstm_pallas is None
+                        else self.lstm_pallas),
             name="conditioned_predictor",
         )(feats, v_len, v_mask, deterministic=deterministic,
           drop_rate=drop_rate)
@@ -141,6 +145,8 @@ class VSLNet(nn.Module):
 
 
 def build_model(configs, word_vectors_shape, dtype=None):
+    from vslnet_tpu.config import pallas_flags
+
     if dtype is None:
         dtype = jnp.bfloat16 if configs.precision == "bf16" else jnp.float32
     bert_kw = {}
@@ -165,7 +171,8 @@ def build_model(configs, word_vectors_shape, dtype=None):
         predictor=configs.predictor,
         word_vectors_shape=tuple(word_vectors_shape),
         dtype=dtype,
-        use_pallas=bool(getattr(configs, "use_pallas", False)),
+        use_pallas=pallas_flags(configs)["fusion"],
+        lstm_pallas=pallas_flags(configs)["lstm"],
         cqa_bias=bool(getattr(configs, "cqa_bias", False)),
         **bert_kw,
     )

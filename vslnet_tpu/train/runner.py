@@ -209,38 +209,67 @@ def make_train_many(model, tx, configs):
     return train_many
 
 
-def make_eval_step(model, use_pallas=False, mesh=None):
+def _eval_compute(model, use_pallas, params, frozen, batch, bank, split):
+    """Forward + span decode for one eval batch (shared by the per-batch
+    and fused whole-split eval paths)."""
+    batch = _materialize(batch, bank, split, train=False)
+    out = model.apply(
+        {"params": params, "frozen": frozen},
+        batch["word_ids"], batch["char_ids"], batch["vfeats"],
+        batch["v_len"], drop_rate=0.0, deterministic=True,
+    )
+    if use_pallas:
+        from vslnet_tpu.ops.pallas_kernels import fused_span_decode
+
+        start_index, end_index = fused_span_decode(
+            out["start_logits"], out["end_logits"]
+        )
+    else:
+        _, _, start_index, end_index = decode_span(
+            out["start_logits"], out["end_logits"]
+        )
+    return start_index, end_index
+
+
+def _replicated_out(mesh, n=2):
     # the decoded indices are tiny [B] int32 arrays; replicating them via
     # out_shardings (an all-gather of ~B*4 bytes) makes them addressable on
     # every host, so multi-host eval never moves params or features around
-    jit_kwargs = {}
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+    if mesh is None:
+        return {}
+    from jax.sharding import NamedSharding, PartitionSpec
 
-        rep = NamedSharding(mesh, PartitionSpec())
-        jit_kwargs["out_shardings"] = (rep, rep)
+    rep = NamedSharding(mesh, PartitionSpec())
+    return {"out_shardings": (rep,) * n}
 
-    @functools.partial(jax.jit, **jit_kwargs)
+
+def make_eval_step(model, use_pallas=False, mesh=None):
+    @functools.partial(jax.jit, **_replicated_out(mesh))
     def eval_step(params, frozen, batch, bank=None, split=None):
-        batch = _materialize(batch, bank, split, train=False)
-        out = model.apply(
-            {"params": params, "frozen": frozen},
-            batch["word_ids"], batch["char_ids"], batch["vfeats"],
-            batch["v_len"], drop_rate=0.0, deterministic=True,
-        )
-        if use_pallas:
-            from vslnet_tpu.ops.pallas_kernels import fused_span_decode
-
-            start_index, end_index = fused_span_decode(
-                out["start_logits"], out["end_logits"]
-            )
-        else:
-            _, _, start_index, end_index = decode_span(
-                out["start_logits"], out["end_logits"]
-            )
-        return start_index, end_index
+        return _eval_compute(model, use_pallas, params, frozen, batch,
+                             bank, split)
 
     return eval_step
+
+
+def make_eval_many(model, use_pallas=False, mesh=None):
+    """Fused whole-split evaluation: lax.scan the eval step over [nb, B]
+    sequential id blocks of the device-resident split — ONE dispatch per
+    evaluation instead of one per batch. Decode math is _eval_compute, the
+    same function the per-batch path jits, so results are identical
+    (pinned by test_fused_eval_matches_per_batch)."""
+
+    @functools.partial(jax.jit, **_replicated_out(mesh))
+    def eval_many(params, frozen, idxs, bank=None, split=None):
+        def body(_, ids):
+            return None, _eval_compute(
+                model, use_pallas, params, frozen, {"idxs": ids}, bank, split
+            )
+
+        _, (starts, ends) = jax.lax.scan(body, None, idxs)
+        return starts, ends
+
+    return eval_many
 
 
 def prefetch_to_device(iterator, mesh, depth=2):
@@ -481,8 +510,20 @@ class Runner:
         # round-1 host-local eval mesh pulled the full params through the
         # host every eval, which cannot scale past toy param counts)
         self.eval_mesh = self.mesh
+        from vslnet_tpu.config import pallas_flags
+
         self._eval_step = make_eval_step(
-            self.model, use_pallas=bool(configs.use_pallas), mesh=self.mesh
+            self.model, use_pallas=pallas_flags(configs)["fusion"],
+            mesh=self.mesh,
+        )
+        # fused whole-split eval: same gating as the fused train path
+        # (device-resident split arrays, single process)
+        self._eval_many = (
+            make_eval_many(
+                self.model, use_pallas=pallas_flags(configs)["fusion"],
+                mesh=self.mesh,
+            )
+            if self.use_fused_steps else None
         )
         self.device_bank = self.eval_bank = None
         self.train_split_dev = None
@@ -536,6 +577,25 @@ class Runner:
         return self._eval_step(params, frozen, batch, bank=bank, split=split)
 
     def evaluate(self, mode="test", epoch=None, global_step=None):
+        if self._eval_many is not None and jax.process_count() == 1:
+            # whole split in ONE dispatch: scan the eval step over the
+            # device-resident split's [nb, B] sequential id blocks
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            split = self.test_loader._split(mode)
+            ids = jax.device_put(
+                self.test_loader.eval_idxs(mode),
+                NamedSharding(self.mesh, P(None, "data")),
+            )
+            starts, ends = self._eval_many(
+                self.params, self.frozen, ids,
+                bank=self.eval_bank, split=self.eval_split_dev[mode],
+            )
+            starts = np.asarray(starts).reshape(-1)[: split.n]
+            ends = np.asarray(ends).reshape(-1)[: split.n]
+            ious = ious_from_predictions(split.records, starts, ends)
+            return summarize_ious(ious, mode=mode, epoch=epoch,
+                                  global_step=global_step)
         return eval_test(
             self.eval_step, self.params, self.frozen, self.test_loader,
             mesh=self.eval_mesh, epoch=epoch, global_step=global_step,
