@@ -61,6 +61,9 @@ def _fused_rate(runner, K=100, windows=3):
         t0 = time.perf_counter()
         np.asarray(run())
         rates.append(K / (time.perf_counter() - t0))
+    # the timed calls donate the runner's original params/opt_state
+    # buffers; rebind the live ones so eval timing can reuse the runner
+    runner.params, runner.opt_state = state["p"], state["o"]
     return float(np.median(rates))
 
 
