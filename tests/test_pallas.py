@@ -3,6 +3,7 @@ kernel must match its pure-XLA twin bit-for-near-bit."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vslnet_tpu.ops.pallas_kernels import (
     fused_cqa_concat,
@@ -318,3 +319,118 @@ def test_full_model_eval_parity_pallas_vs_xla():
     sp, ep = fused_span_decode(out_p["start_logits"], out_p["end_logits"])
     np.testing.assert_array_equal(np.asarray(sp), np.asarray(sx))
     np.testing.assert_array_equal(np.asarray(ep), np.asarray(ex))
+
+def _xla_mha_ref(q, k, v, mask, H, dtype):
+    """Transcription of the MultiHeadAttention score path (layers.py)."""
+    import math as _math
+
+    B, T, D = q.shape
+    hd = D // H
+
+    def split(t):
+        return t.reshape(B, T, H, hd).transpose(0, 2, 1, 3)
+
+    qh, kh, vh = split(q), split(k), split(v)
+    qh = qh * (1.0 / _math.sqrt(hd))
+    s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
+                   preferred_element_type=jnp.float32)
+    m = mask.astype(jnp.float32).reshape(B, 1, 1, T)
+    s = s + (1.0 - m) * -1e30
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(dtype), vh,
+                   preferred_element_type=dtype)
+    return o.transpose(0, 2, 1, 3).reshape(B, T, D)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+@pytest.mark.parametrize("T", [32, 25])  # incl. a non-tile-aligned length
+def test_fused_mha_matches_xla(dtype, T):
+    from vslnet_tpu.ops.pallas_kernels import fused_mha
+
+    B, D, H = 4, 128, 8
+    kx = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(kx[0], (B, T, D), dtype)
+    k = jax.random.normal(kx[1], (B, T, D), dtype)
+    v = jax.random.normal(kx[2], (B, T, D), dtype)
+    lens = jnp.asarray([T, max(T // 2, 1), 3, 1])
+    mask = (jnp.arange(T)[None, :] < lens[:, None]).astype(jnp.float32)
+    seeds = jnp.zeros((B, 1), jnp.float32)
+    out_p = fused_mha(q, k, v, mask, seeds, H, 0.0)
+    out_x = _xla_mha_ref(q, k, v, mask, H, dtype)
+    err = np.abs(
+        np.asarray(out_p, np.float32) - np.asarray(out_x, np.float32)
+    ) * np.asarray(mask)[:, :, None]
+    assert float(err.max()) <= (0.0 if dtype == jnp.float32 else 1e-2)
+
+
+def test_fused_mha_grads_match_xla():
+    from vslnet_tpu.ops.pallas_kernels import fused_mha
+
+    B, T, D, H = 4, 32, 128, 8
+    kx = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(kx[0], (B, T, D), jnp.float32)
+    k = jax.random.normal(kx[1], (B, T, D), jnp.float32)
+    v = jax.random.normal(kx[2], (B, T, D), jnp.float32)
+    mask = (jnp.arange(T)[None, :] < jnp.asarray([32, 17, 8, 1])[:, None]
+            ).astype(jnp.float32)
+    seeds = jnp.zeros((B, 1), jnp.float32)
+
+    def loss_p(q, k, v):
+        o = fused_mha(q, k, v, mask, seeds, H, 0.0)
+        return jnp.sum((o * mask[:, :, None]) ** 2)
+
+    def loss_x(q, k, v):
+        o = _xla_mha_ref(q, k, v, mask, H, jnp.float32)
+        return jnp.sum((o * mask[:, :, None]) ** 2)
+
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-6, rtol=1e-4)
+
+
+def test_fused_mha_dropout_semantics():
+    """In-kernel counter-hash dropout: deterministic given seeds,
+    mean-preserving (1/(1-rate) inverted scaling), decorrelated across
+    examples, and the custom VJP regenerates the SAME bits (grads match
+    autodiff of a jnp twin that uses the identical hash)."""
+    from vslnet_tpu.ops.pallas_kernels import fused_mha, _mha_hash_bits
+
+    B, T, D, H = 4, 32, 128, 8
+    hd = D // H
+    rate = 0.3
+    q = jax.random.normal(jax.random.PRNGKey(1), (B, T, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(2), (B, T, D), jnp.float32)
+    v = jnp.ones((B, T, D), jnp.float32)
+    mask = jnp.ones((B, T), jnp.float32)
+    seeds = (jnp.arange(B, dtype=jnp.float32) * 1000 + 7).reshape(B, 1)
+
+    a = np.asarray(fused_mha(q, k, v, mask, seeds, H, rate))
+    b = np.asarray(fused_mha(q, k, v, mask, seeds, H, rate))
+    np.testing.assert_array_equal(a, b)
+    o0 = np.asarray(fused_mha(q, k, v, mask, seeds, H, 0.0))
+    assert abs(a.mean() / o0.mean() - 1.0) < 0.05
+    assert not np.array_equal(a[0], a[1])  # per-example seeds decorrelate
+
+    thresh = jnp.uint32(int(rate * 4294967296.0))
+
+    def twin(q):
+        outs = []
+        for bi in range(B):
+            rows = []
+            for h in range(H):
+                qh = q[bi, :, h * hd:(h + 1) * hd] * (1.0 / np.sqrt(hd))
+                s = qh @ k[bi, :, h * hd:(h + 1) * hd].T
+                p = jax.nn.softmax(s, axis=-1)
+                bits = _mha_hash_bits(seeds[bi, 0].astype(jnp.int32), h, T)
+                pd = jnp.where(bits >= thresh, p / (1 - rate), 0.0)
+                rows.append(pd @ v[bi, :, h * hd:(h + 1) * hd])
+            outs.append(jnp.concatenate(rows, axis=-1))
+        return jnp.stack(outs)
+
+    g_twin = jax.grad(lambda q: jnp.sum(twin(q) ** 2))(q)
+    g_ker = jax.grad(
+        lambda q: jnp.sum(fused_mha(q, k, v, mask, seeds, H, rate) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_twin),
+                               atol=1e-3, rtol=5e-3)

@@ -115,12 +115,13 @@ def pallas_flags(configs):
     s = str(getattr(configs, "use_pallas", "auto")).lower()
     all_on = s in ("on", "true", "1", "yes")
     if s == "auto":
-        # the win is a TPU result; off-TPU the kernels only run in
+        # the wins are TPU results; off-TPU the kernels only run in
         # interpreter mode (correct but slow), so auto leaves them off
         import jax
 
-        return {"lstm": jax.default_backend() != "cpu", "fusion": False}
-    return {"lstm": all_on, "fusion": all_on}
+        accel = jax.default_backend() != "cpu"
+        return {"lstm": accel, "mha": accel, "fusion": False}
+    return {"lstm": all_on, "mha": all_on, "fusion": all_on}
 
 
 def build_parser():

@@ -240,6 +240,9 @@ class MultiHeadAttention(nn.Module):
     dim: int
     num_heads: int
     dtype: Dtype = jnp.float32
+    mha_pallas: bool = False  # fused scores->mask->softmax->dropout->PV
+    #   kernel (ops/pallas_kernels.fused_mha): never materializes the
+    #   [B, h, T, T] score/prob/dropout tensors through HBM
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate):
@@ -251,15 +254,34 @@ class MultiHeadAttention(nn.Module):
         B, T, _ = x.shape
         head_size = self.dim // self.num_heads
 
+        q_proj = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                        name="query")(x)
+        k_proj = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                        name="key")(x)
+        v_proj = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                        name="value")(x)
+
+        from vslnet_tpu.ops.pallas_kernels import fused_mha, mha_pallas_fits
+
+        if (self.mha_pallas and mask is not None
+                and mha_pallas_fits(T, self.dim, self.num_heads)):
+            rate = 0.0 if deterministic else float(drop_rate)
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                seeds = jax.random.randint(
+                    rng, (B, 1), 0, 1 << 23).astype(jnp.float32)
+            else:
+                seeds = jnp.zeros((B, 1), jnp.float32)
+            return fused_mha(q_proj, k_proj, v_proj,
+                             mask.astype(jnp.float32), seeds,
+                             self.num_heads, rate)
+
         def split_heads(t):
             return t.reshape(B, T, self.num_heads, head_size).transpose(0, 2, 1, 3)
 
-        query = split_heads(Conv1D(self.dim, use_bias=True, dtype=self.dtype,
-                                   name="query")(x))
-        key = split_heads(Conv1D(self.dim, use_bias=True, dtype=self.dtype,
-                                 name="key")(x))
-        value = split_heads(Conv1D(self.dim, use_bias=True, dtype=self.dtype,
-                                   name="value")(x))
+        query = split_heads(q_proj)
+        key = split_heads(k_proj)
+        value = split_heads(v_proj)
         query = query * (1.0 / math.sqrt(float(head_size)))
         score = jnp.einsum("bhqd,bhkd->bhqk", query, key,
                            preferred_element_type=jnp.float32,
@@ -283,6 +305,7 @@ class MultiHeadAttentionBlock(nn.Module):
     num_heads: int
     use_bias: bool = True
     dtype: Dtype = jnp.float32
+    mha_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate):
@@ -291,7 +314,7 @@ class MultiHeadAttentionBlock(nn.Module):
         y = drop(y)
         y = MultiHeadAttention(
             dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
-            name="multihead_attention",
+            mha_pallas=self.mha_pallas, name="multihead_attention",
         )(y, mask=mask, deterministic=deterministic, drop_rate=drop_rate)
         y = drop(y)
         residual = y + x
@@ -312,6 +335,7 @@ class FeatureEncoder(nn.Module):
     num_heads: int
     max_position_length: int
     dtype: Dtype = jnp.float32
+    mha_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate):
@@ -325,7 +349,7 @@ class FeatureEncoder(nn.Module):
         )(x, deterministic=deterministic, drop_rate=drop_rate)
         x = MultiHeadAttentionBlock(
             dim=self.hidden_size, num_heads=self.num_heads, dtype=self.dtype,
-            name="multihead_attention_block",
+            mha_pallas=self.mha_pallas, name="multihead_attention_block",
         )(x, mask=mask, deterministic=deterministic, drop_rate=drop_rate)
         return x
 
@@ -531,6 +555,7 @@ class ConditionedPredictor(nn.Module):
     mode: str = "rnn"
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
+    mha_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, seq_len, v_mask, *, deterministic, drop_rate):
@@ -547,7 +572,7 @@ class ConditionedPredictor(nn.Module):
             encoder = FeatureEncoder(
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
                 max_position_length=self.max_position_length, dtype=self.dtype,
-                name="feature_encoder",
+                mha_pallas=self.mha_pallas, name="feature_encoder",
             )
             start_features = encoder(
                 x, mask=v_mask, deterministic=deterministic, drop_rate=drop_rate

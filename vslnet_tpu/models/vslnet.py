@@ -45,6 +45,8 @@ class VSLNet(nn.Module):
     use_pallas: bool = False  # fused inference kernels (CQA, highlight gate)
     lstm_pallas: Optional[bool] = None  # fused LSTM recurrence in the rnn
     #   predictor (the measured winner); None: follow use_pallas
+    mha_pallas: Optional[bool] = None   # fused MHA kernel (scores->softmax
+    #   ->dropout->PV on-chip); None: follow use_pallas
     cqa_bias: bool = False    # t7-dialect CQA output bias (checkpoint import)
     # BERT text-encoder variant (BASELINE.json config 5): replaces
     # GloVe+charCNN at the model/VSLNet.py:43-48 boundary; word_ids are then
@@ -100,6 +102,8 @@ class VSLNet(nn.Module):
         encoder = FeatureEncoder(
             hidden_size=self.hidden_size, num_heads=self.num_heads,
             max_position_length=self.max_pos_len, dtype=self.dtype,
+            mha_pallas=(self.use_pallas if self.mha_pallas is None
+                        else self.mha_pallas),
             name="feature_encoder",
         )
         video = encoder(video, mask=v_mask, deterministic=deterministic,
@@ -130,6 +134,8 @@ class VSLNet(nn.Module):
             dtype=self.dtype,
             use_pallas=(self.use_pallas if self.lstm_pallas is None
                         else self.lstm_pallas),
+            mha_pallas=(self.use_pallas if self.mha_pallas is None
+                        else self.mha_pallas),
             name="conditioned_predictor",
         )(feats, v_len, v_mask, deterministic=deterministic,
           drop_rate=drop_rate)
@@ -173,6 +179,7 @@ def build_model(configs, word_vectors_shape, dtype=None):
         dtype=dtype,
         use_pallas=pallas_flags(configs)["fusion"],
         lstm_pallas=pallas_flags(configs)["lstm"],
+        mha_pallas=pallas_flags(configs)["mha"],
         cqa_bias=bool(getattr(configs, "cqa_bias", False)),
         **bert_kw,
     )

@@ -11,6 +11,8 @@ All kernels auto-fall back to interpreter mode off-TPU, so the same tests
 run on the CPU mesh. Each has a pure-XLA twin in models/losses.py /
 models/layers.py; parity tests pin them together.
 """
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -539,3 +541,190 @@ def fused_highlight_gate(x, weight, bias, v_mask):
         jnp.asarray(bias, jnp.float32).reshape(1, 1), v_mask.astype(jnp.float32),
     )
     return gated, scores
+
+
+# --- fused multi-head attention ---------------------------------------------
+#
+# The profiler shows the MHA score/prob tensors dominating the train step at
+# the reference shape (QK^T 19% + PV 26% of device time, B=64): XLA
+# materializes [B, heads, T, T] scores, probs AND a same-shaped dropout mask
+# through HBM. With T <= ~512 one batch row's whole attention fits in VMEM,
+# so this kernel computes scores -> mask -> softmax -> dropout -> PV per
+# (batch, head) entirely on-chip; HBM traffic drops to the [T, D] q/k/v
+# inputs and the [T, D] output. Heads are sliced from the unsplit [T, D]
+# projections in-kernel (D = 128 = one MXU/VPU lane tile).
+#
+# Dropout inside the kernel uses a counter-based murmur-style hash of
+# (per-example seed, head, row, col) instead of pltpu.prng_* so the SAME
+# bits are reproduced in the recompute-based backward kernel and in
+# interpreter mode on CPU (pltpu.prng_seed has no interpret lowering).
+# The draw differs from the XLA path's jax.random stream — dropout is an
+# implementation detail, placement/rate/scaling are identical (reference
+# model/layers.py multiplies softmax probs by the keep mask / (1-rate)).
+
+
+def mha_pallas_fits(T, D, n_heads, budget_bytes=10 * 1024 * 1024):
+    """One (batch row)'s working set: q/k/v/out [T, D] fp32 staging plus a
+    few [T, T] fp32 score/prob temporaries per head slice."""
+    if D % n_heads or (D // n_heads) % 8:
+        return False
+    return (6 * T * D + 6 * T * T) * 4 <= budget_bytes
+
+
+def _mha_hash_bits(seed_i32, h, T):
+    """Deterministic uniform uint32 bits for one (example, head): murmur3
+    finalizer over a (row, col, seed, head) counter. Pure jnp — identical
+    bits in the backward recompute and in interpreter mode."""
+    u = jnp.uint32
+    i = jax.lax.broadcasted_iota(jnp.uint32, (T, T), 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, (T, T), 1)
+    x = (i * u(0x9E3779B9)) ^ (j * u(0x85EBCA6B))
+    x = x ^ (seed_i32.astype(jnp.uint32) * u(2654435761) + u(0x27D4EB2F) * u(h + 1))
+    x = x ^ (x >> u(16))
+    x = x * u(0x85EBCA6B)
+    x = x ^ (x >> u(13))
+    x = x * u(0xC2B2AE35)
+    x = x ^ (x >> u(16))
+    return x
+
+
+def _mha_head_probs(q, k, neg, seed, h, hd, scale, drop_rate, T):
+    """scores -> additive key mask -> fp32 softmax -> (keep-mask dropout):
+    returns (pre-dropout probs, dropped probs)."""
+    qh = q[:, h * hd:(h + 1) * hd]
+    kh = k[:, h * hd:(h + 1) * hd]
+    s = jnp.dot(qh * scale, kh.T, preferred_element_type=jnp.float32)
+    s = s + neg[None, :]
+    p = jax.nn.softmax(s, axis=-1)
+    if drop_rate > 0.0:
+        bits = _mha_hash_bits(seed, h, T)
+        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
+        pd = jnp.where(bits >= thresh, p * (1.0 / (1.0 - drop_rate)), 0.0)
+    else:
+        pd = p
+    return p, pd
+
+
+def _make_mha_fwd_kernel(n_heads, drop_rate, dtype):
+    def kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, out_ref):
+        T, D = q_ref.shape[1], q_ref.shape[2]
+        hd = D // n_heads
+        scale = dtype(1.0 / (hd ** 0.5))
+        q, k, v = q_ref[0], k_ref[0], v_ref[0]
+        neg = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * -1e30
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+        for h in range(n_heads):
+            _, pd = _mha_head_probs(q, k, neg, seed, h, hd, scale,
+                                    drop_rate, T)
+            vh = v[:, h * hd:(h + 1) * hd]
+            o = jnp.dot(pd.astype(dtype), vh,
+                        preferred_element_type=jnp.float32)
+            out_ref[0, :, h * hd:(h + 1) * hd] = o.astype(dtype)
+
+    return kernel
+
+
+def _make_mha_bwd_kernel(n_heads, drop_rate, dtype):
+    def kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, g_ref,
+               dq_ref, dk_ref, dv_ref):
+        T, D = q_ref.shape[1], q_ref.shape[2]
+        hd = D // n_heads
+        scale = dtype(1.0 / (hd ** 0.5))
+        q, k, v, g = q_ref[0], k_ref[0], v_ref[0], g_ref[0]
+        neg = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * -1e30
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+        for h in range(n_heads):
+            p, pd = _mha_head_probs(q, k, neg, seed, h, hd, scale,
+                                    drop_rate, T)
+            qh = q[:, h * hd:(h + 1) * hd]
+            kh = k[:, h * hd:(h + 1) * hd]
+            vh = v[:, h * hd:(h + 1) * hd]
+            gh = g[:, h * hd:(h + 1) * hd]
+            # out = pd.astype(dtype) @ v
+            dv = jnp.dot(pd.astype(dtype).T, gh,
+                         preferred_element_type=jnp.float32)
+            dpd = jnp.dot(gh, vh.T, preferred_element_type=jnp.float32)
+            if drop_rate > 0.0:
+                bits = _mha_hash_bits(seed, h, T)
+                thresh = jnp.uint32(
+                    min(int(drop_rate * 4294967296.0), 4294967295))
+                dp = jnp.where(bits >= thresh,
+                               dpd * (1.0 / (1.0 - drop_rate)), 0.0)
+            else:
+                dp = dpd
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_t = ds.astype(dtype)
+            dq = jnp.dot(ds_t, kh, preferred_element_type=jnp.float32) * scale
+            dk = jnp.dot(ds_t.T, qh * scale,
+                         preferred_element_type=jnp.float32)
+            dq_ref[0, :, h * hd:(h + 1) * hd] = dq.astype(dtype)
+            dk_ref[0, :, h * hd:(h + 1) * hd] = dk.astype(dtype)
+            dv_ref[0, :, h * hd:(h + 1) * hd] = dv.astype(dtype)
+
+    return kernel
+
+
+def _mha_specs(B, T, D, n_inputs):
+    """Grid over batch rows; every ref sees one example's [1, T, D] block
+    ([1, T] mask, [1, 1] seed)."""
+    def row3(i):
+        return (i, 0, 0)
+
+    qkv = pl.BlockSpec((1, T, D), row3, memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, 1, T), row3, memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1, 1), row3, memory_space=pltpu.SMEM)
+    base = [qkv, qkv, qkv, mask, seed]
+    return base + [qkv] * (n_inputs - 5), qkv
+
+
+def _mha_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds):
+    B, T, D = q.shape
+    in_specs, out_spec = _mha_specs(B, T, D, 5)
+    return pl.pallas_call(
+        _make_mha_fwd_kernel(n_heads, float(drop_rate), q.dtype.type),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+        interpret=_interpret(),
+    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1))
+
+
+def _mha_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds, g):
+    B, T, D = q.shape
+    in_specs, out_spec = _mha_specs(B, T, D, 6)
+    return pl.pallas_call(
+        _make_mha_bwd_kernel(n_heads, float(drop_rate), q.dtype.type),
+        grid=(B,),
+        in_specs=in_specs,
+        out_specs=(out_spec,) * 3,
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((B, T, D), q.dtype) for _ in range(3)
+        ),
+        interpret=_interpret(),
+    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_mha(q, k, v, mask, seeds, n_heads, drop_rate):
+    """Fused multi-head attention: [B, T, D] unsplit projections + [B, T]
+    key mask + [B, 1] per-example dropout seeds (float32-held ints) ->
+    [B, T, D]. Identical math to the XLA path in models/layers.py
+    MultiHeadAttention (q scaling, additive -1e30 mask, fp32 softmax,
+    dropout on probs, dtype-cast PV) except the dropout bit stream."""
+    return _mha_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds)
+
+
+def _fused_mha_fwd(q, k, v, mask, seeds, n_heads, drop_rate):
+    out = _mha_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds)
+    return out, (q, k, v, mask, seeds)
+
+
+def _fused_mha_bwd(n_heads, drop_rate, res, g):
+    q, k, v, mask, seeds = res
+    dq, dk, dv = _mha_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds,
+                              g.astype(q.dtype))
+    return dq, dk, dv, jnp.zeros_like(mask), jnp.zeros_like(seeds)
+
+
+fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
