@@ -332,13 +332,17 @@ def _xla_mha_ref(q, k, v, mask, H, dtype):
 
     qh, kh, vh = split(q), split(k), split(v)
     qh = qh * (1.0 / _math.sqrt(hd))
+    from vslnet_tpu.models.layers import dot_precision
+
     s = jnp.einsum("bhqd,bhkd->bhqk", qh, kh,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=dot_precision(dtype))
     m = mask.astype(jnp.float32).reshape(B, 1, 1, T)
     s = s + (1.0 - m) * -1e30
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhqk,bhkd->bhqd", p.astype(dtype), vh,
-                   preferred_element_type=dtype)
+                   preferred_element_type=dtype,
+                   precision=dot_precision(dtype))
     return o.transpose(0, 2, 1, 3).reshape(B, T, D)
 
 
@@ -420,12 +424,14 @@ def test_fused_mha_dropout_semantics():
         for bi in range(B):
             rows = []
             for h in range(H):
+                hi = jax.lax.Precision.HIGHEST
                 qh = q[bi, :, h * hd:(h + 1) * hd] * (1.0 / np.sqrt(hd))
-                s = qh @ k[bi, :, h * hd:(h + 1) * hd].T
+                s = jnp.dot(qh, k[bi, :, h * hd:(h + 1) * hd].T, precision=hi)
                 p = jax.nn.softmax(s, axis=-1)
                 bits = _mha_hash_bits(seeds[bi, 0].astype(jnp.int32), h, T)
                 pd = jnp.where(bits >= thresh, p / (1 - rate), 0.0)
-                rows.append(pd @ v[bi, :, h * hd:(h + 1) * hd])
+                rows.append(jnp.dot(pd, v[bi, :, h * hd:(h + 1) * hd],
+                                    precision=hi))
             outs.append(jnp.concatenate(rows, axis=-1))
         return jnp.stack(outs)
 
@@ -434,3 +440,77 @@ def test_fused_mha_dropout_semantics():
         lambda q: jnp.sum(fused_mha(q, k, v, mask, seeds, H, rate) ** 2))(q)
     np.testing.assert_allclose(np.asarray(g_ker), np.asarray(g_twin),
                                atol=1e-3, rtol=5e-3)
+
+
+def test_fused_conv_block_matches_flax():
+    """Whole QANet conv stack in one kernel: forward exact in fp32, input
+    and every parameter gradient match autodiff of the flax module."""
+    from vslnet_tpu.models.layers import ConvBlock
+    from vslnet_tpu.ops.pallas_kernels import fused_conv_block
+
+    B, T, D, L, K = 4, 32, 128, 4, 7
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, D), jnp.float32)
+    mod = ConvBlock(kernel_size=K, dim=D, num_layers=L, dtype=jnp.float32)
+    variables = mod.init({"params": jax.random.PRNGKey(1)}, x,
+                         deterministic=True, drop_rate=0.0)
+
+    def stacked(p):
+        gam = jnp.stack([p["layer_norm_%d" % l]["scale"] for l in range(L)])
+        beta = jnp.stack([p["layer_norm_%d" % l]["bias"] for l in range(L)])
+        dw = jnp.stack(
+            [p["depthwise_conv_layers_%d" % l]["depthwise_filter"][:, 0, :, 0]
+             for l in range(L)])
+        wp = jnp.stack(
+            [p["depthwise_conv_layers_%d" % l]["pointwise_filter"][0, 0]
+             for l in range(L)])
+        bp = jnp.stack(
+            [p["depthwise_conv_layers_%d" % l]["bias"] for l in range(L)])
+        return gam, beta, dw, wp, bp
+
+    seeds = jnp.zeros((B, 1), jnp.float32)
+    out_x = mod.apply(variables, x, deterministic=True, drop_rate=0.0)
+    out_p = fused_conv_block(x, *stacked(variables["params"]), seeds, L, K,
+                             0.0)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               atol=2e-6)
+
+    def loss_x(p, x):
+        return jnp.sum(mod.apply({"params": p}, x, deterministic=True,
+                                 drop_rate=0.0) ** 2)
+
+    def loss_p(p, x):
+        return jnp.sum(fused_conv_block(x, *stacked(p), seeds, L, K,
+                                        0.0) ** 2)
+
+    gx_p, gx_x = jax.grad(loss_x, argnums=(0, 1))(variables["params"], x)
+    gp_p, gp_x = jax.grad(loss_p, argnums=(0, 1))(variables["params"], x)
+    np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gx_x), atol=5e-6)
+    for (ka, va), (kb, vb) in zip(
+            jax.tree_util.tree_leaves_with_path(gx_p),
+            jax.tree_util.tree_leaves_with_path(gp_p)):
+        assert ka == kb
+        np.testing.assert_allclose(
+            np.asarray(vb), np.asarray(va), atol=1e-4, rtol=1e-5,
+            err_msg=jax.tree_util.keystr(ka))
+
+
+def test_conv_block_module_pallas_matches_xla():
+    """ConvBlock(conv_pallas=True) through the module API (param extraction
+    via return_params) == the plain path, same param tree."""
+    from vslnet_tpu.models.layers import ConvBlock
+
+    B, T, D = 4, 16, 128
+    x = jax.random.normal(jax.random.PRNGKey(3), (B, T, D), jnp.float32)
+    m_x = ConvBlock(kernel_size=7, dim=D, num_layers=4, dtype=jnp.float32)
+    m_p = ConvBlock(kernel_size=7, dim=D, num_layers=4, dtype=jnp.float32,
+                    conv_pallas=True)
+    variables = m_x.init({"params": jax.random.PRNGKey(4)}, x,
+                         deterministic=True, drop_rate=0.0)
+    v2 = m_p.init({"params": jax.random.PRNGKey(4)}, x,
+                  deterministic=True, drop_rate=0.0)
+    assert jax.tree_util.tree_structure(variables) == \
+        jax.tree_util.tree_structure(v2)
+    out_x = m_x.apply(variables, x, deterministic=True, drop_rate=0.0)
+    out_p = m_p.apply(variables, x, deterministic=True, drop_rate=0.0)
+    np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
+                               atol=2e-6)

@@ -49,10 +49,11 @@ class Config:
     max_chars: Optional[int] = None    # static word-char cap (None: from data)
     precision: str = "fp32"            # [fp32 | bf16] compute precision
     use_pallas: str = "auto"           # [auto | on | off] fused Pallas
-    #   kernels. auto: only the measured winners (the fused LSTM recurrence
-    #   in the rnn predictor); on: additionally the CQA / highlight-gate /
-    #   span-decode fusions (these lose to XLA at reference shapes — see
-    #   README crossover table); off: none. true/false alias on/off.
+    #   kernels. auto: only the measured winners (fused LSTM recurrence,
+    #   fused MHA, fused conv block) and only on accelerator backends;
+    #   on: additionally the CQA / highlight-gate / span-decode fusions
+    #   (these lose to XLA at reference shapes — see README crossover
+    #   table); off: none. true/false alias on/off.
     dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
     sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
@@ -106,8 +107,10 @@ class Config:
 def pallas_flags(configs):
     """Resolve the use_pallas setting into per-kernel gates.
 
-    'lstm' — the fused LSTM recurrence (ops/pallas_kernels.py), the
-    measured winner at every benched shape: on under auto/on/true.
+    'lstm' / 'mha' / 'conv' — the fused LSTM recurrence, fused multi-head
+    attention, and fused QANet conv stack (ops/pallas_kernels.py): the
+    measured winners, on under auto (accelerator backends only) and
+    on/true.
     'fusion' — the CQA / highlight-gate / span-decode fused kernels,
     which lose to XLA's reassociated forms at reference shapes: explicit
     on/true only. Bool values (legacy flag form) alias on/off.
@@ -120,8 +123,8 @@ def pallas_flags(configs):
         import jax
 
         accel = jax.default_backend() != "cpu"
-        return {"lstm": accel, "mha": accel, "fusion": False}
-    return {"lstm": all_on, "mha": all_on, "fusion": all_on}
+        return {"lstm": accel, "mha": accel, "conv": accel, "fusion": False}
+    return {"lstm": all_on, "mha": all_on, "conv": all_on, "fusion": all_on}
 
 
 def build_parser():

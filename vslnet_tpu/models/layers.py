@@ -48,10 +48,14 @@ class LayerNorm(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params=False):
         dim = x.shape[-1]
         scale = self.param("scale", ones_init, (dim,), jnp.float32)
         bias = self.param("bias", zeros_init, (dim,), jnp.float32)
+        if return_params:
+            # fused-kernel path: params declared under the usual names
+            # (checkpoint compatibility), math done by the caller's kernel
+            return scale, bias
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
@@ -180,7 +184,7 @@ class DepthwiseSeparableConv(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # x: [B, T, D]
+    def __call__(self, x, *, return_params=False):  # x: [B, T, D]
         in_dim = x.shape[-1]
         depthwise = self.param(
             "depthwise_filter", glorot(),
@@ -190,6 +194,8 @@ class DepthwiseSeparableConv(nn.Module):
             "pointwise_filter", glorot(), (1, 1, in_dim, self.dim), jnp.float32
         )
         bias = self.param("bias", zeros_init, (self.dim,), jnp.float32)
+        if return_params:
+            return depthwise[:, 0, :, 0], pointwise[0, 0], bias
         # depthwise conv along T: kernel [k, 1, in] per-channel
         dw = depthwise[:, 0, :, 0]  # [k, in]
         y = jax.lax.conv_general_dilated(
@@ -217,9 +223,48 @@ class ConvBlock(nn.Module):
     dim: int
     num_layers: int
     dtype: Dtype = jnp.float32
+    conv_pallas: bool = False  # run the whole stack in one fused kernel
+    #   (ops/pallas_kernels.fused_conv_block): no HBM round-trips between
+    #   LN / depthwise / pointwise / dropout / residual stages
 
     @nn.compact
     def __call__(self, x, *, deterministic, drop_rate):
+        from vslnet_tpu.ops.pallas_kernels import (
+            conv_block_pallas_fits,
+            fused_conv_block,
+        )
+
+        B, T, D = x.shape
+        if (self.conv_pallas and D == self.dim
+                and conv_block_pallas_fits(T, D, self.kernel_size,
+                                           self.num_layers)):
+            gams, betas, dws, wps, bps = [], [], [], [], []
+            for layer_idx in range(self.num_layers):
+                g_, b_ = LayerNorm(
+                    dtype=self.dtype, name="layer_norm_%d" % layer_idx
+                )(x, return_params=True)
+                dw_, wp_, bp_ = DepthwiseSeparableConv(
+                    kernel_size=self.kernel_size, dim=self.dim,
+                    dtype=self.dtype,
+                    name="depthwise_conv_layers_%d" % layer_idx,
+                )(x, return_params=True)
+                gams.append(g_)
+                betas.append(b_)
+                dws.append(dw_)
+                wps.append(wp_)
+                bps.append(bp_)
+            rate = 0.0 if deterministic else float(drop_rate)
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                seeds = jax.random.randint(
+                    rng, (B, 1), 0, 1 << 23).astype(jnp.float32)
+            else:
+                seeds = jnp.zeros((B, 1), jnp.float32)
+            return fused_conv_block(
+                x, jnp.stack(gams), jnp.stack(betas), jnp.stack(dws),
+                jnp.stack(wps), jnp.stack(bps), seeds, self.num_layers,
+                self.kernel_size, rate,
+            )
         for layer_idx in range(self.num_layers):
             residual = x
             y = LayerNorm(dtype=self.dtype, name="layer_norm_%d" % layer_idx)(x)
@@ -336,6 +381,7 @@ class FeatureEncoder(nn.Module):
     max_position_length: int
     dtype: Dtype = jnp.float32
     mha_pallas: bool = False
+    conv_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate):
@@ -345,7 +391,7 @@ class FeatureEncoder(nn.Module):
         )(x)
         x = ConvBlock(
             kernel_size=7, dim=self.hidden_size, num_layers=4, dtype=self.dtype,
-            name="conv_block",
+            conv_pallas=self.conv_pallas, name="conv_block",
         )(x, deterministic=deterministic, drop_rate=drop_rate)
         x = MultiHeadAttentionBlock(
             dim=self.hidden_size, num_heads=self.num_heads, dtype=self.dtype,
@@ -556,6 +602,7 @@ class ConditionedPredictor(nn.Module):
     dtype: Dtype = jnp.float32
     use_pallas: bool = False
     mha_pallas: bool = False
+    conv_pallas: bool = False
 
     @nn.compact
     def __call__(self, x, seq_len, v_mask, *, deterministic, drop_rate):
@@ -572,7 +619,8 @@ class ConditionedPredictor(nn.Module):
             encoder = FeatureEncoder(
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
                 max_position_length=self.max_position_length, dtype=self.dtype,
-                mha_pallas=self.mha_pallas, name="feature_encoder",
+                mha_pallas=self.mha_pallas, conv_pallas=self.conv_pallas,
+                name="feature_encoder",
             )
             start_features = encoder(
                 x, mask=v_mask, deterministic=deterministic, drop_rate=drop_rate

@@ -47,6 +47,8 @@ class VSLNet(nn.Module):
     #   predictor (the measured winner); None: follow use_pallas
     mha_pallas: Optional[bool] = None   # fused MHA kernel (scores->softmax
     #   ->dropout->PV on-chip); None: follow use_pallas
+    conv_pallas: Optional[bool] = None  # fused QANet conv stack kernel;
+    #   None: follow use_pallas
     cqa_bias: bool = False    # t7-dialect CQA output bias (checkpoint import)
     # BERT text-encoder variant (BASELINE.json config 5): replaces
     # GloVe+charCNN at the model/VSLNet.py:43-48 boundary; word_ids are then
@@ -104,6 +106,8 @@ class VSLNet(nn.Module):
             max_position_length=self.max_pos_len, dtype=self.dtype,
             mha_pallas=(self.use_pallas if self.mha_pallas is None
                         else self.mha_pallas),
+            conv_pallas=(self.use_pallas if self.conv_pallas is None
+                         else self.conv_pallas),
             name="feature_encoder",
         )
         video = encoder(video, mask=v_mask, deterministic=deterministic,
@@ -136,6 +140,8 @@ class VSLNet(nn.Module):
                         else self.lstm_pallas),
             mha_pallas=(self.use_pallas if self.mha_pallas is None
                         else self.mha_pallas),
+            conv_pallas=(self.use_pallas if self.conv_pallas is None
+                         else self.conv_pallas),
             name="conditioned_predictor",
         )(feats, v_len, v_mask, deterministic=deterministic,
           drop_rate=drop_rate)
@@ -180,6 +186,7 @@ def build_model(configs, word_vectors_shape, dtype=None):
         use_pallas=pallas_flags(configs)["fusion"],
         lstm_pallas=pallas_flags(configs)["lstm"],
         mha_pallas=pallas_flags(configs)["mha"],
+        conv_pallas=pallas_flags(configs)["conv"],
         cqa_bias=bool(getattr(configs, "cqa_bias", False)),
         **bert_kw,
     )

@@ -563,6 +563,13 @@ def fused_highlight_gate(x, weight, bias, v_mask):
 # model/layers.py multiplies softmax probs by the keep mask / (1-rate)).
 
 
+def _prec(dtype):
+    """fp32 parity mode forces exact f32 matmuls inside kernels too (this
+    JAX build's default matmul precision is reduced; models/layers.py
+    dot_precision is the XLA-side twin). bf16 keeps the fast default."""
+    return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
+
+
 def mha_pallas_fits(T, D, n_heads, budget_bytes=10 * 1024 * 1024):
     """One (batch row)'s working set: q/k/v/out [T, D] fp32 staging plus a
     few [T, T] fp32 score/prob temporaries per head slice."""
@@ -593,7 +600,8 @@ def _mha_head_probs(q, k, neg, seed, h, hd, scale, drop_rate, T):
     returns (pre-dropout probs, dropped probs)."""
     qh = q[:, h * hd:(h + 1) * hd]
     kh = k[:, h * hd:(h + 1) * hd]
-    s = jnp.dot(qh * scale, kh.T, preferred_element_type=jnp.float32)
+    s = jnp.dot(qh * scale, kh.T, preferred_element_type=jnp.float32,
+                precision=_prec(qh.dtype))
     s = s + neg[None, :]
     p = jax.nn.softmax(s, axis=-1)
     if drop_rate > 0.0:
@@ -618,7 +626,8 @@ def _make_mha_fwd_kernel(n_heads, drop_rate, dtype):
                                     drop_rate, T)
             vh = v[:, h * hd:(h + 1) * hd]
             o = jnp.dot(pd.astype(dtype), vh,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=_prec(dtype))
             out_ref[0, :, h * hd:(h + 1) * hd] = o.astype(dtype)
 
     return kernel
@@ -642,8 +651,10 @@ def _make_mha_bwd_kernel(n_heads, drop_rate, dtype):
             gh = g[:, h * hd:(h + 1) * hd]
             # out = pd.astype(dtype) @ v
             dv = jnp.dot(pd.astype(dtype).T, gh,
-                         preferred_element_type=jnp.float32)
-            dpd = jnp.dot(gh, vh.T, preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(dtype))
+            dpd = jnp.dot(gh, vh.T, preferred_element_type=jnp.float32,
+                          precision=_prec(dtype))
             if drop_rate > 0.0:
                 bits = _mha_hash_bits(seed, h, T)
                 thresh = jnp.uint32(
@@ -654,9 +665,11 @@ def _make_mha_bwd_kernel(n_heads, drop_rate, dtype):
                 dp = dpd
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             ds_t = ds.astype(dtype)
-            dq = jnp.dot(ds_t, kh, preferred_element_type=jnp.float32) * scale
+            dq = jnp.dot(ds_t, kh, preferred_element_type=jnp.float32,
+                         precision=_prec(dtype)) * scale
             dk = jnp.dot(ds_t.T, qh * scale,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=_prec(dtype))
             dq_ref[0, :, h * hd:(h + 1) * hd] = dq.astype(dtype)
             dk_ref[0, :, h * hd:(h + 1) * hd] = dk.astype(dtype)
             dv_ref[0, :, h * hd:(h + 1) * hd] = dv.astype(dtype)
@@ -728,3 +741,276 @@ def _fused_mha_bwd(n_heads, drop_rate, res, g):
 
 
 fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
+
+
+# --- fused conv block --------------------------------------------------------
+#
+# The QANet conv stack (4 x {pre-LN -> depthwise k=7 -> pointwise -> bias ->
+# relu -> dropout -> +residual}, models/layers.py ConvBlock) is the second
+# profiler hotspot after attention: XLA runs the depthwise convs on the VPU
+# well below bandwidth and round-trips every intermediate through HBM. This
+# kernel runs ALL num_layers layers for one batch row entirely in VMEM; the
+# depthwise conv is 7 shifted multiply-adds on a zero-padded copy, the
+# pointwise conv is a full-width [T,D]x[D,D] MXU matmul. The backward kernel
+# recomputes the forward (only the block input is saved) and accumulates
+# weight gradients across the sequential grid into revisited output blocks.
+# Dropout bits come from the same counter-hash scheme as fused_mha (salted
+# per layer), so backward regenerates identical masks.
+
+
+def conv_block_pallas_fits(T, D, kernel_size, num_layers,
+                           budget_bytes=10 * 1024 * 1024):
+    # working set per row: a few [T, D] fp32 stages + [D, D] pointwise
+    # weights per layer + the padded depthwise buffer
+    return (10 * T * D + num_layers * D * D + (T + 16) * D) * 4 <= budget_bytes
+
+
+def _hash_bits(seed_i32, salt, shape):
+    """Counter-hash uniform uint32 bits (murmur3 finalizer), salted: generic
+    twin of _mha_hash_bits for non-square shapes / other call sites."""
+    u = jnp.uint32
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    x = (i * u(0x9E3779B9)) ^ (j * u(0x85EBCA6B))
+    x = x ^ (seed_i32.astype(jnp.uint32) * u(2654435761)
+             + u(0x94D049BB) * u(salt + 1))
+    x = x ^ (x >> u(16))
+    x = x * u(0x85EBCA6B)
+    x = x ^ (x >> u(13))
+    x = x * u(0xC2B2AE35)
+    x = x ^ (x >> u(16))
+    return x
+
+
+def _ln_fwd(x32, gam, beta, eps=1e-6):
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    xh = (x32 - mean) * inv
+    return xh * gam[None, :] + beta[None, :], xh, inv
+
+
+def _depthwise(x, dw, T, k):
+    """SAME depthwise conv along T: k shifted multiply-adds. x [T, D] fp32,
+    dw [k, D]."""
+    pad = (k - 1) // 2
+    xp = jnp.pad(x, ((pad, pad), (0, 0)))
+    acc = xp[0:T] * dw[0][None, :]
+    for j in range(1, k):
+        acc = acc + xp[j:j + T] * dw[j][None, :]
+    return acc
+
+
+def _conv_layer_fwd(x32, gam, beta, dw, wp, bp, seed, salt, drop_rate,
+                    dtype, T, k):
+    """One {LN -> depthwise -> pointwise -> bias -> relu -> dropout -> +res}
+    layer in fp32 staging / dtype matmul, mirroring models/layers.py."""
+    n, xh, inv = _ln_fwd(x32, gam, beta)
+    d = _depthwise(n.astype(dtype).astype(jnp.float32), dw, T, k)
+    p = jnp.dot(d.astype(dtype), wp.astype(dtype),
+                preferred_element_type=jnp.float32,
+                precision=_prec(dtype)) + bp[None, :]
+    r = jnp.maximum(p, 0.0)
+    if drop_rate > 0.0:
+        bits = _hash_bits(seed, salt, r.shape)
+        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
+        o = jnp.where(bits >= thresh, r * (1.0 / (1.0 - drop_rate)), 0.0)
+    else:
+        o = r
+    return x32 + o, (n, xh, inv, d, p)
+
+
+def _make_conv_block_fwd_kernel(num_layers, kernel_size, drop_rate, dtype):
+    def kernel(x_ref, gam_ref, beta_ref, dw_ref, wp_ref, bp_ref, seed_ref,
+               out_ref):
+        T, D = x_ref.shape[1], x_ref.shape[2]
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+        x32 = x_ref[0].astype(jnp.float32)
+        for l in range(num_layers):
+            x32, _ = _conv_layer_fwd(
+                x32, gam_ref[l, 0].astype(jnp.float32),
+                beta_ref[l, 0].astype(jnp.float32),
+                dw_ref[l].astype(jnp.float32), wp_ref[l],
+                bp_ref[l, 0].astype(jnp.float32),
+                seed, 0x100 + l, drop_rate, dtype, T, kernel_size,
+            )
+        out_ref[0] = x32.astype(dtype)
+
+    return kernel
+
+
+def _make_conv_block_bwd_kernel(num_layers, kernel_size, drop_rate, dtype):
+    def kernel(x_ref, gam_ref, beta_ref, dw_ref, wp_ref, bp_ref, seed_ref,
+               g_ref, dx_ref, dgam_ref, dbeta_ref, ddw_ref, dwp_ref,
+               dbp_ref):
+        T, D = x_ref.shape[1], x_ref.shape[2]
+        k = kernel_size
+        pad = (k - 1) // 2
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dgam_ref[...] = jnp.zeros_like(dgam_ref)
+            dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+            ddw_ref[...] = jnp.zeros_like(ddw_ref)
+            dwp_ref[...] = jnp.zeros_like(dwp_ref)
+            dbp_ref[...] = jnp.zeros_like(dbp_ref)
+
+        # forward replay, saving per-layer residuals in VMEM values
+        x32 = x_ref[0].astype(jnp.float32)
+        saved = []
+        for l in range(num_layers):
+            x_in = x32
+            x32, res = _conv_layer_fwd(
+                x32, gam_ref[l, 0].astype(jnp.float32),
+                beta_ref[l, 0].astype(jnp.float32),
+                dw_ref[l].astype(jnp.float32), wp_ref[l],
+                bp_ref[l, 0].astype(jnp.float32),
+                seed, 0x100 + l, drop_rate, dtype, T, k,
+            )
+            saved.append((x_in, res))
+
+        g = g_ref[0].astype(jnp.float32)
+        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
+        for l in range(num_layers - 1, -1, -1):
+            x_in, (n, xh, inv, d, p) = saved[l]
+            gam = gam_ref[l, 0].astype(jnp.float32)
+            dw = dw_ref[l].astype(jnp.float32)
+
+            g_o = g
+            if drop_rate > 0.0:
+                bits = _hash_bits(seed, 0x100 + l, p.shape)
+                g_r = jnp.where(bits >= thresh,
+                                g_o * (1.0 / (1.0 - drop_rate)), 0.0)
+            else:
+                g_r = g_o
+            g_p = jnp.where(p > 0.0, g_r, 0.0)
+            dbp_ref[l] += jnp.sum(g_p, axis=0, keepdims=True)
+            g_p_t = g_p.astype(dtype)
+            d_t = d.astype(dtype)
+            dwp_ref[l] += jnp.dot(d_t.T, g_p_t,
+                                  preferred_element_type=jnp.float32,
+                                  precision=_prec(dtype))
+            g_d = jnp.dot(g_p_t, wp_ref[l].T.astype(dtype),
+                          preferred_element_type=jnp.float32,
+                          precision=_prec(dtype))
+            # depthwise backward: data grad is the reversed-shift conv,
+            # weight grad a per-shift reduction over T
+            n_p = jnp.pad(n, ((pad, pad), (0, 0)))
+            g_d_p = jnp.pad(g_d, ((pad, pad), (0, 0)))
+            g_n = g_d_p[2 * pad:2 * pad + T] * dw[0][None, :]
+            for j in range(1, k):
+                g_n = g_n + g_d_p[2 * pad - j:2 * pad - j + T] * dw[j][None, :]
+            for j in range(k):
+                ddw_ref[l, j:j + 1] += jnp.sum(n_p[j:j + T] * g_d, axis=0,
+                                               keepdims=True)
+            # LayerNorm backward (xh, inv saved): standard pre-LN formulas
+            dgam_ref[l] += jnp.sum(g_n * xh, axis=0, keepdims=True)
+            dbeta_ref[l] += jnp.sum(g_n, axis=0, keepdims=True)
+            dxh = g_n * gam[None, :]
+            mean1 = jnp.mean(dxh, axis=-1, keepdims=True)
+            mean2 = jnp.mean(dxh * xh, axis=-1, keepdims=True)
+            dx_ln = inv * (dxh - mean1 - xh * mean2)
+            g = g_o + dx_ln  # residual + LN input paths
+        dx_ref[0] = g.astype(dtype)
+
+    return kernel
+
+
+def _conv_block_specs(B, T, D, L, k):
+    def row3(i):
+        return (i, 0, 0)
+
+    def whole(i):
+        return (0, 0, 0)
+
+    x_spec = pl.BlockSpec((1, T, D), row3, memory_space=pltpu.VMEM)
+    gb_spec = pl.BlockSpec((L, 1, D), whole, memory_space=pltpu.VMEM)
+    dw_spec = pl.BlockSpec((L, k, D), whole, memory_space=pltpu.VMEM)
+    wp_spec = pl.BlockSpec((L, D, D), whole, memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1, 1), row3, memory_space=pltpu.SMEM)
+    return x_spec, gb_spec, dw_spec, wp_spec, seed_spec
+
+
+def _conv_block_fwd_raw(L, k, drop_rate, x, gam, beta, dw, wp, bp, seeds):
+    B, T, D = x.shape
+    x_spec, gb_spec, dw_spec, wp_spec, seed_spec = _conv_block_specs(
+        B, T, D, L, k)
+    return pl.pallas_call(
+        _make_conv_block_fwd_kernel(L, k, float(drop_rate), x.dtype.type),
+        grid=(B,),
+        in_specs=[x_spec, gb_spec, gb_spec, dw_spec, wp_spec, gb_spec,
+                  seed_spec],
+        out_specs=x_spec,
+        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+        interpret=_interpret(),
+    )(x, gam.reshape(L, 1, D), beta.reshape(L, 1, D), dw, wp,
+      bp.reshape(L, 1, D), seeds.reshape(B, 1, 1))
+
+
+def _conv_block_bwd_raw(L, k, drop_rate, x, gam, beta, dw, wp, bp, seeds, g):
+    B, T, D = x.shape
+    x_spec, gb_spec, dw_spec, wp_spec, seed_spec = _conv_block_specs(
+        B, T, D, L, k)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _make_conv_block_bwd_kernel(L, k, float(drop_rate), x.dtype.type),
+        grid=(B,),
+        in_specs=[x_spec, gb_spec, gb_spec, dw_spec, wp_spec, gb_spec,
+                  seed_spec, x_spec],
+        out_specs=(
+            x_spec,
+            pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, k, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, D, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, D), x.dtype),
+            jax.ShapeDtypeStruct((L, 1, D), f32),
+            jax.ShapeDtypeStruct((L, 1, D), f32),
+            jax.ShapeDtypeStruct((L, k, D), f32),
+            jax.ShapeDtypeStruct((L, D, D), f32),
+            jax.ShapeDtypeStruct((L, 1, D), f32),
+        ),
+        interpret=_interpret(),
+    )(x, gam.reshape(L, 1, D), beta.reshape(L, 1, D), dw, wp,
+      bp.reshape(L, 1, D), seeds.reshape(B, 1, 1), g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def fused_conv_block(x, gam, beta, dw, wp, bp, seeds, num_layers,
+                     kernel_size, drop_rate):
+    """QANet conv stack for all layers in one kernel. x [B, T, D]; stacked
+    per-layer params gam/beta/bp [L, D], dw [L, k, D], wp [L, D, D]; seeds
+    [B, 1] float32-held per-example dropout seeds."""
+    return _conv_block_fwd_raw(num_layers, kernel_size, drop_rate, x, gam,
+                               beta, dw, wp, bp, seeds)
+
+
+def _fused_conv_block_fwd(x, gam, beta, dw, wp, bp, seeds, num_layers,
+                          kernel_size, drop_rate):
+    out = _conv_block_fwd_raw(num_layers, kernel_size, drop_rate, x, gam,
+                              beta, dw, wp, bp, seeds)
+    return out, (x, gam, beta, dw, wp, bp, seeds)
+
+
+def _fused_conv_block_bwd(num_layers, kernel_size, drop_rate, res, g):
+    x, gam, beta, dw, wp, bp, seeds = res
+    dx, dgam, dbeta, ddw, dwp, dbp = _conv_block_bwd_raw(
+        num_layers, kernel_size, drop_rate, x, gam, beta, dw, wp, bp, seeds,
+        g.astype(x.dtype))
+    L, D = gam.shape
+    return (dx, dgam.reshape(L, D).astype(gam.dtype),
+            dbeta.reshape(L, D).astype(beta.dtype), ddw.astype(dw.dtype),
+            dwp.astype(wp.dtype), dbp.reshape(L, D).astype(bp.dtype),
+            jnp.zeros_like(seeds))
+
+
+fused_conv_block.defvjp(_fused_conv_block_fwd, _fused_conv_block_bwd)
