@@ -597,7 +597,7 @@ def _mha_hash_bits(seed_i32, h, T):
 
 def _mha_head_probs(q, k, neg, seed, h, hd, scale, drop_rate, T):
     """scores -> additive key mask -> fp32 softmax -> (keep-mask dropout):
-    returns (pre-dropout probs, dropped probs)."""
+    returns (pre-dropout probs, dropped probs, keep bits or None)."""
     qh = q[:, h * hd:(h + 1) * hd]
     kh = k[:, h * hd:(h + 1) * hd]
     s = jnp.dot(qh * scale, kh.T, preferred_element_type=jnp.float32,
@@ -609,8 +609,9 @@ def _mha_head_probs(q, k, neg, seed, h, hd, scale, drop_rate, T):
         thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
         pd = jnp.where(bits >= thresh, p * (1.0 / (1.0 - drop_rate)), 0.0)
     else:
+        bits = None
         pd = p
-    return p, pd
+    return p, pd, bits
 
 
 def _make_mha_fwd_kernel(n_heads, drop_rate, dtype):
@@ -622,8 +623,8 @@ def _make_mha_fwd_kernel(n_heads, drop_rate, dtype):
         neg = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * -1e30
         seed = seed_ref[0, 0, 0].astype(jnp.int32)
         for h in range(n_heads):
-            _, pd = _mha_head_probs(q, k, neg, seed, h, hd, scale,
-                                    drop_rate, T)
+            _, pd, _ = _mha_head_probs(q, k, neg, seed, h, hd, scale,
+                                       drop_rate, T)
             vh = v[:, h * hd:(h + 1) * hd]
             o = jnp.dot(pd.astype(dtype), vh,
                         preferred_element_type=jnp.float32,
@@ -643,8 +644,8 @@ def _make_mha_bwd_kernel(n_heads, drop_rate, dtype):
         neg = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * -1e30
         seed = seed_ref[0, 0, 0].astype(jnp.int32)
         for h in range(n_heads):
-            p, pd = _mha_head_probs(q, k, neg, seed, h, hd, scale,
-                                    drop_rate, T)
+            p, pd, bits = _mha_head_probs(q, k, neg, seed, h, hd, scale,
+                                          drop_rate, T)
             qh = q[:, h * hd:(h + 1) * hd]
             kh = k[:, h * hd:(h + 1) * hd]
             vh = v[:, h * hd:(h + 1) * hd]
@@ -656,7 +657,6 @@ def _make_mha_bwd_kernel(n_heads, drop_rate, dtype):
             dpd = jnp.dot(gh, vh.T, preferred_element_type=jnp.float32,
                           precision=_prec(dtype))
             if drop_rate > 0.0:
-                bits = _mha_hash_bits(seed, h, T)
                 thresh = jnp.uint32(
                     min(int(drop_rate * 4294967296.0), 4294967295))
                 dp = jnp.where(bits >= thresh,
