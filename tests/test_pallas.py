@@ -514,3 +514,37 @@ def test_conv_block_module_pallas_matches_xla():
     out_p = m_p.apply(variables, x, deterministic=True, drop_rate=0.0)
     np.testing.assert_allclose(np.asarray(out_x), np.asarray(out_p),
                                atol=2e-6)
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.3])
+def test_flash_mha_matches_small_path(rate):
+    """The flash-tiled long-T kernels must reproduce the gridless fused_mha
+    path: same outputs, same grads, and the SAME dropout bits (both index
+    the counter-hash by global row/col)."""
+    from vslnet_tpu.ops.pallas_kernels import (
+        _mha_bwd_raw,
+        _mha_flash_bwd_raw,
+        _mha_flash_fwd_raw,
+        _mha_fwd_raw,
+    )
+
+    B, T, D, H = 2, 256, 128, 8
+    kx = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(kx[0], (B, T, D), jnp.float32)
+    k = jax.random.normal(kx[1], (B, T, D), jnp.float32)
+    v = jax.random.normal(kx[2], (B, T, D), jnp.float32)
+    g = jax.random.normal(kx[3], (B, T, D), jnp.float32)
+    mask = (jnp.arange(T)[None, :] < jnp.asarray([T, 173])[:, None]
+            ).astype(jnp.float32)
+    seeds = jnp.asarray([[11.0], [222.0]], jnp.float32)
+    out_f, lse = _mha_flash_fwd_raw(H, rate, q, k, v, mask, seeds)
+    out_s = _mha_fwd_raw(H, rate, q, k, v, mask, seeds)
+    err = np.abs(np.asarray(out_f) - np.asarray(out_s)) * \
+        np.asarray(mask)[:, :, None]
+    assert float(err.max()) < 1e-6
+    dq_f, dk_f, dv_f = _mha_flash_bwd_raw(H, rate, q, k, v, mask, seeds,
+                                          out_f, lse, g)
+    dq_s, dk_s, dv_s = _mha_bwd_raw(H, rate, q, k, v, mask, seeds, g)
+    for a, b in ((dq_f, dq_s), (dk_f, dk_s), (dv_f, dv_s)):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32), atol=5e-4)

@@ -306,10 +306,13 @@ class MultiHeadAttention(nn.Module):
         v_proj = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
                         name="value")(x)
 
-        from vslnet_tpu.ops.pallas_kernels import fused_mha, mha_pallas_fits
+        from vslnet_tpu.ops.pallas_kernels import (
+            fused_mha,
+            mha_pallas_supported,
+        )
 
         if (self.mha_pallas and mask is not None
-                and mha_pallas_fits(T, self.dim, self.num_heads)):
+                and mha_pallas_supported(T, self.dim, self.num_heads)):
             rate = 0.0 if deterministic else float(drop_rate)
             if rate > 0.0:
                 rng = self.make_rng("dropout")

@@ -718,22 +718,50 @@ def _mha_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds, g):
     )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), g)
 
 
+def mha_pallas_supported(T, D, n_heads):
+    """True if either fused-MHA path covers this shape: the gridless
+    whole-T kernel (small T) or the flash-tiled kernel (long T)."""
+    return mha_pallas_fits(T, D, n_heads) or mha_flash_fits(T, D, n_heads)
+
+
+def _mha_use_flash(T, D, n_heads):
+    return (not mha_pallas_fits(T, D, n_heads)
+            and mha_flash_fits(T, D, n_heads))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_mha(q, k, v, mask, seeds, n_heads, drop_rate):
     """Fused multi-head attention: [B, T, D] unsplit projections + [B, T]
     key mask + [B, 1] per-example dropout seeds (float32-held ints) ->
     [B, T, D]. Identical math to the XLA path in models/layers.py
     MultiHeadAttention (q scaling, additive -1e30 mask, fp32 softmax,
-    dropout on probs, dtype-cast PV) except the dropout bit stream."""
+    dropout on probs, dtype-cast PV) except the dropout bit stream.
+    Long T routes to the flash-tiled kernels automatically."""
+    B, T, D = q.shape
+    if _mha_use_flash(T, D, n_heads):
+        out, _ = _mha_flash_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds)
+        return out
     return _mha_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds)
 
 
 def _fused_mha_fwd(q, k, v, mask, seeds, n_heads, drop_rate):
+    B, T, D = q.shape
+    if _mha_use_flash(T, D, n_heads):
+        out, lse = _mha_flash_fwd_raw(n_heads, drop_rate, q, k, v, mask,
+                                      seeds)
+        return out, (q, k, v, mask, seeds, out, lse)
     out = _mha_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds)
     return out, (q, k, v, mask, seeds)
 
 
 def _fused_mha_bwd(n_heads, drop_rate, res, g):
+    if len(res) == 7:
+        q, k, v, mask, seeds, out, lse = res
+        dq, dk, dv = _mha_flash_bwd_raw(
+            n_heads, drop_rate, q, k, v, mask, seeds, out, lse,
+            g.astype(q.dtype))
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                jnp.zeros_like(mask), jnp.zeros_like(seeds))
     q, k, v, mask, seeds = res
     dq, dk, dv = _mha_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds,
                               g.astype(q.dtype))
@@ -1014,3 +1042,206 @@ def _fused_conv_block_bwd(num_layers, kernel_size, drop_rate, res, g):
 
 
 fused_conv_block.defvjp(_fused_conv_block_fwd, _fused_conv_block_bwd)
+
+
+# --- flash-tiled multi-head attention (long context) -------------------------
+#
+# The gridless fused_mha kernels need the whole [T, T] score tile in VMEM,
+# which caps T at ~512. For the long-context configs (README table:
+# max_pos_len up to 4096, --sp_size sharding beyond) this tiled variant
+# streams KV blocks with an online softmax (flash attention): per (example,
+# query-block) program, keys/values stay VMEM-resident as [T, hd] slices,
+# scores exist only as [TQ, TK] tiles, and the forward saves one logsumexp
+# row per (head, query) for the recompute-based backward. Same math and the
+# same counter-hash dropout as fused_mha (bits indexed by GLOBAL row/col,
+# so small and tiled paths of the same shape would draw the same mask).
+
+
+_FLASH_TQ = 128
+_FLASH_TK = 256
+
+
+def mha_flash_fits(T, D, n_heads, budget_bytes=12 * 1024 * 1024):
+    if D % n_heads or (D // n_heads) % 8:
+        return False
+    if T % _FLASH_TQ:
+        return False
+    # q/k/v/out full [T, D] staging per program dominates
+    return 6 * T * D * 4 <= budget_bytes
+
+
+def _hash_tile(seed_i32, salt, shape, i0, j0):
+    """_mha_hash_bits with global row/col offsets: tile (i0, j0) of the
+    logical [T, T] bit matrix."""
+    u = jnp.uint32
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0) + jnp.uint32(i0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1) + jnp.uint32(j0)
+    x = (i * u(0x9E3779B9)) ^ (j * u(0x85EBCA6B))
+    x = x ^ (seed_i32.astype(jnp.uint32) * u(2654435761)
+             + u(0x27D4EB2F) * u(salt + 1))
+    x = x ^ (x >> u(16))
+    x = x * u(0x85EBCA6B)
+    x = x ^ (x >> u(13))
+    x = x * u(0xC2B2AE35)
+    x = x ^ (x >> u(16))
+    return x
+
+
+def _make_flash_fwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
+    def kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, out_ref, lse_ref):
+        D = q_ref.shape[2]
+        T = k_ref.shape[1]
+        hd = D // n_heads
+        scale = dtype(1.0 / (hd ** 0.5))
+        qi = pl.program_id(1)
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
+        for h in range(n_heads):
+            qh = q_ref[0, :, h * hd:(h + 1) * hd] * scale
+            m = jnp.full((TQ, 1), -jnp.inf, jnp.float32)
+            l = jnp.zeros((TQ, 1), jnp.float32)
+            acc = jnp.zeros((TQ, hd), jnp.float32)
+            for kj in range(T // TK):
+                kh = k_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
+                vh = v_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
+                s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32,
+                            precision=_prec(dtype))
+                negj = (1.0 - mask_ref[0, 0:1, kj * TK:(kj + 1) * TK]
+                        .astype(jnp.float32)) * -1e30
+                s = s + negj
+                m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+                p = jnp.exp(s - m_new)
+                alpha = jnp.exp(m - m_new)
+                l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+                if drop_rate > 0.0:
+                    bits = _hash_tile(seed, h, (TQ, TK), qi * TQ, kj * TK)
+                    p_use = jnp.where(bits >= thresh,
+                                      p * (1.0 / (1.0 - drop_rate)), 0.0)
+                else:
+                    p_use = p
+                acc = acc * alpha + jnp.dot(
+                    p_use.astype(dtype), vh,
+                    preferred_element_type=jnp.float32,
+                    precision=_prec(dtype))
+                m = m_new
+            out_ref[0, :, h * hd:(h + 1) * hd] = (acc / l).astype(dtype)
+            lse_ref[0, 0, h * TQ:(h + 1) * TQ] = (m + jnp.log(l))[:, 0]
+
+    return kernel
+
+
+def _make_flash_bwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
+    def kernel(q_ref, k_ref, v_ref, mask_ref, seed_ref, out_ref, lse_ref,
+               g_ref, dq_ref, dk_ref, dv_ref):
+        D = q_ref.shape[2]
+        T = k_ref.shape[1]
+        hd = D // n_heads
+        scale = jnp.float32(1.0 / (hd ** 0.5))
+        qi = pl.program_id(1)
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
+
+        @pl.when(qi == 0)
+        def _init():
+            dk_ref[...] = jnp.zeros_like(dk_ref)
+            dv_ref[...] = jnp.zeros_like(dv_ref)
+
+        for h in range(n_heads):
+            qh = q_ref[0, :, h * hd:(h + 1) * hd]
+            gh = g_ref[0, :, h * hd:(h + 1) * hd]
+            oh = out_ref[0, :, h * hd:(h + 1) * hd]
+            lse = lse_ref[0, 0, h * TQ:(h + 1) * TQ][:, None]
+            delta = jnp.sum(gh.astype(jnp.float32) * oh.astype(jnp.float32),
+                            axis=-1, keepdims=True)
+            dq_acc = jnp.zeros((TQ, hd), jnp.float32)
+            qh_s = (qh.astype(jnp.float32) * scale).astype(dtype)
+            for kj in range(T // TK):
+                kh = k_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
+                vh = v_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
+                s = jnp.dot(qh_s, kh.T, preferred_element_type=jnp.float32,
+                            precision=_prec(dtype))
+                negj = (1.0 - mask_ref[0, 0:1, kj * TK:(kj + 1) * TK]
+                        .astype(jnp.float32)) * -1e30
+                s = s + negj
+                p = jnp.exp(s - lse)  # normalized probs, exact recompute
+                if drop_rate > 0.0:
+                    bits = _hash_tile(seed, h, (TQ, TK), qi * TQ, kj * TK)
+                    keep = bits >= thresh
+                    pd = jnp.where(keep, p * (1.0 / (1.0 - drop_rate)), 0.0)
+                else:
+                    pd = p
+                dv_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd] += (
+                    jnp.dot(pd.astype(dtype).T, gh,
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(dtype))).astype(dv_ref.dtype)
+                dpd = jnp.dot(gh, vh.T, preferred_element_type=jnp.float32,
+                              precision=_prec(dtype))
+                if drop_rate > 0.0:
+                    dp = jnp.where(keep, dpd * (1.0 / (1.0 - drop_rate)), 0.0)
+                else:
+                    dp = dpd
+                ds = p * (dp - delta)
+                ds_t = ds.astype(dtype)
+                dq_acc = dq_acc + jnp.dot(
+                    ds_t, kh, preferred_element_type=jnp.float32,
+                    precision=_prec(dtype))
+                dk_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd] += (
+                    jnp.dot(ds_t.T, qh_s,
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(dtype))).astype(dk_ref.dtype)
+            dq_ref[0, :, h * hd:(h + 1) * hd] = (dq_acc * scale).astype(
+                dq_ref.dtype)
+
+    return kernel
+
+
+def _flash_specs(B, T, D, n_heads, TQ):
+    qblk = pl.BlockSpec((1, TQ, D), lambda b, i: (b, i, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec((1, T, D), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    mask = pl.BlockSpec((1, 1, T), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    seed = pl.BlockSpec((1, 1, 1), lambda b, i: (b, 0, 0),
+                        memory_space=pltpu.SMEM)
+    lse = pl.BlockSpec((1, 1, n_heads * TQ), lambda b, i: (b, 0, i),
+                       memory_space=pltpu.VMEM)
+    return qblk, full, mask, seed, lse
+
+
+def _mha_flash_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds):
+    B, T, D = q.shape
+    TQ, TK = min(_FLASH_TQ, T), min(_FLASH_TK, T)
+    qblk, full, mask_s, seed_s, lse_s = _flash_specs(B, T, D, n_heads, TQ)
+    return pl.pallas_call(
+        _make_flash_fwd_kernel(n_heads, float(drop_rate), q.dtype.type,
+                               TQ, TK),
+        grid=(B, T // TQ),
+        in_specs=[qblk, full, full, mask_s, seed_s],
+        out_specs=(qblk, lse_s),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, 1, n_heads * T), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1))
+
+
+def _mha_flash_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds, out, lse, g):
+    B, T, D = q.shape
+    TQ, TK = min(_FLASH_TQ, T), min(_FLASH_TK, T)
+    qblk, full, mask_s, seed_s, lse_s = _flash_specs(B, T, D, n_heads, TQ)
+    f32 = jnp.float32
+    return pl.pallas_call(
+        _make_flash_bwd_kernel(n_heads, float(drop_rate), q.dtype.type,
+                               TQ, TK),
+        grid=(B, T // TQ),
+        in_specs=[qblk, full, full, mask_s, seed_s, qblk, lse_s, qblk],
+        out_specs=(qblk, full, full),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, T, D), q.dtype),
+            jax.ShapeDtypeStruct((B, T, D), f32),
+            jax.ShapeDtypeStruct((B, T, D), f32),
+        ),
+        interpret=_interpret(),
+    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), out, lse, g)
