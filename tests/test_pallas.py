@@ -548,3 +548,45 @@ def test_flash_mha_matches_small_path(rate):
     for a, b in ((dq_f, dq_s), (dk_f, dk_s), (dv_f, dv_s)):
         np.testing.assert_allclose(np.asarray(a, np.float32),
                                    np.asarray(b, np.float32), atol=5e-4)
+
+
+def test_fused_mha_conv_under_dp_mesh():
+    """fused_mha + fused_conv_block (with their custom VJPs and the
+    conv-block's psum'd weight grads) must match the single-device result
+    when the batch shards over the 8-device mesh — exercises the
+    custom_partitioning batch rules (batch_dim=0)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from vslnet_tpu.models.layers import FeatureEncoder
+
+    B, T, D = 16, 16, 128
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.standard_normal((B, T, D)), jnp.float32)
+    mask = (jnp.arange(T)[None, :]
+            < jnp.asarray(rng.integers(1, T + 1, (B,)))[:, None]
+            ).astype(jnp.float32)
+    mod = FeatureEncoder(hidden_size=D, num_heads=8, max_position_length=T,
+                         mha_pallas=True, conv_pallas=True)
+    params = mod.init({"params": jax.random.PRNGKey(0)}, x, mask=mask,
+                      deterministic=True, drop_rate=0.0)
+
+    def loss(p, x, m):
+        out = mod.apply(p, x, mask=m, deterministic=True, drop_rate=0.0)
+        return jnp.sum((out * m[:, :, None]) ** 2)
+
+    l_ref = float(jax.jit(loss)(params, x, mask))
+    g_ref = jax.jit(jax.grad(loss))(params, x, mask)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    ms = jax.device_put(mask, NamedSharding(mesh, P("data")))
+    ps = jax.device_put(params, NamedSharding(mesh, P()))
+    l_dp = float(jax.jit(loss)(ps, xs, ms))
+    g_dp = jax.jit(jax.grad(loss))(ps, xs, ms)
+    np.testing.assert_allclose(l_dp, l_ref, rtol=1e-6)
+    for (ka, a), (kb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_dp),
+            jax.tree_util.tree_leaves_with_path(g_ref)):
+        assert ka == kb
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5,
+            err_msg=jax.tree_util.keystr(ka))

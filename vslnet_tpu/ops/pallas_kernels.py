@@ -346,26 +346,27 @@ def _lstm_bwd_kernel(dy_ref, acts_ref, th_ref, cprev_ref, hprev_ref,
 # propagating into the sequential kernel).
 
 
-def _partition_lstm_call(raw_fn, in_ranks, in_batched, out_ranks,
-                         out_batched, rule, reduce_out=()):
-    """Wrap `raw_fn` so GSPMD shards dim 1 (batch) of the flagged
+def _partition_batched_call(raw_fn, in_ranks, in_batched, out_ranks,
+                         out_batched, rule, reduce_out=(), batch_dim=1):
+    """Wrap `raw_fn` so GSPMD shards `batch_dim` of the flagged
     operands/results over the batch mesh axis and replicates everything
-    else. Outputs listed in `reduce_out` are cross-batch reductions and get
-    a psum in the lowering."""
+    else (LSTM kernels batch on dim 1, MHA/conv-block on dim 0). Outputs
+    listed in `reduce_out` are cross-batch reductions and get a psum in
+    the lowering."""
     wrapped = custom_partitioning(raw_fn)
     batched_in = [i for i, f in enumerate(in_batched) if f]
 
     def _batch_axis(arg_shapes):
         for idx in batched_in:
             spec = arg_shapes[idx].sharding.spec
-            if len(spec) > 1 and spec[1] is not None:
-                return spec[1]
+            if len(spec) > batch_dim and spec[batch_dim] is not None:
+                return spec[batch_dim]
         return None
 
     def _shard(mesh, b, rank, batched):
         spec = [None] * rank
         if batched:
-            spec[1] = b
+            spec[batch_dim] = b
         return NamedSharding(mesh, P(*spec))
 
     def _result_shardings(mesh, b):
@@ -422,7 +423,7 @@ def _lstm_fwd_res_raw(x_proj, k_h, valid):
     )(x_proj, k_h, valid)
 
 
-_lstm_fwd_res_part = _partition_lstm_call(
+_lstm_fwd_res_part = _partition_batched_call(
     _lstm_fwd_res_raw,
     in_ranks=(3, 2, 2), in_batched=(True, False, True),
     out_ranks=(3, 3, 3, 3, 3), out_batched=(True,) * 5,
@@ -448,7 +449,7 @@ def _lstm_fwd_lean_raw(x_proj, k_h, valid):
     )(x_proj, k_h, valid)
 
 
-_lstm_fwd_lean_part = _partition_lstm_call(
+_lstm_fwd_lean_part = _partition_batched_call(
     _lstm_fwd_lean_raw,
     in_ranks=(3, 2, 2), in_batched=(True, False, True),
     out_ranks=(3,), out_batched=(True,),
@@ -495,7 +496,7 @@ def _lstm_bwd_raw(dy, acts, th, c_prev, h_prev, valid, k_h):
     )(dy, acts, th, c_prev, h_prev, valid, k_h)
 
 
-_lstm_bwd_part = _partition_lstm_call(
+_lstm_bwd_part = _partition_batched_call(
     _lstm_bwd_raw,
     in_ranks=(3, 3, 3, 3, 3, 2, 2),
     in_batched=(True, True, True, True, True, True, False),
@@ -690,32 +691,62 @@ def _mha_specs(B, T, D, n_inputs):
     return base + [qkv] * (n_inputs - 5), qkv
 
 
+@functools.lru_cache(maxsize=None)
+def _mha_fwd_part(n_heads, drop_rate):
+    def raw(q, k, v, mask3, seeds3):
+        B, T, D = q.shape
+        in_specs, out_spec = _mha_specs(B, T, D, 5)
+        return pl.pallas_call(
+            _make_mha_fwd_kernel(n_heads, drop_rate, q.dtype.type),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
+            interpret=_interpret(),
+        )(q, k, v, mask3, seeds3)
+
+    # GSPMD batch partitioning: every operand/result shards on dim 0
+    return _partition_batched_call(
+        raw, in_ranks=(3, 3, 3, 3, 3), in_batched=(True,) * 5,
+        out_ranks=(3,), out_batched=(True,),
+        rule="b q1 d1, b k1 d2, b k2 d3, b m1 m2, b s1 s2 -> b q2 d4",
+        batch_dim=0)
+
+
 def _mha_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds):
     B, T, D = q.shape
-    in_specs, out_spec = _mha_specs(B, T, D, 5)
-    return pl.pallas_call(
-        _make_mha_fwd_kernel(n_heads, float(drop_rate), q.dtype.type),
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, D), q.dtype),
-        interpret=_interpret(),
-    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1))
+    return _mha_fwd_part(n_heads, float(drop_rate))(
+        q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _mha_bwd_part(n_heads, drop_rate):
+    def raw(q, k, v, mask3, seeds3, g):
+        B, T, D = q.shape
+        in_specs, out_spec = _mha_specs(B, T, D, 6)
+        return pl.pallas_call(
+            _make_mha_bwd_kernel(n_heads, drop_rate, q.dtype.type),
+            grid=(B,),
+            in_specs=in_specs,
+            out_specs=(out_spec,) * 3,
+            out_shape=tuple(
+                jax.ShapeDtypeStruct((B, T, D), q.dtype) for _ in range(3)
+            ),
+            interpret=_interpret(),
+        )(q, k, v, mask3, seeds3, g)
+
+    return _partition_batched_call(
+        raw, in_ranks=(3,) * 6, in_batched=(True,) * 6,
+        out_ranks=(3, 3, 3), out_batched=(True,) * 3,
+        rule=("b q1 d1, b k1 d2, b k2 d3, b m1 m2, b s1 s2, b g1 g2"
+              " -> b q2 d4, b k3 d5, b k4 d6"),
+        batch_dim=0)
 
 
 def _mha_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds, g):
     B, T, D = q.shape
-    in_specs, out_spec = _mha_specs(B, T, D, 6)
-    return pl.pallas_call(
-        _make_mha_bwd_kernel(n_heads, float(drop_rate), q.dtype.type),
-        grid=(B,),
-        in_specs=in_specs,
-        out_specs=(out_spec,) * 3,
-        out_shape=tuple(
-            jax.ShapeDtypeStruct((B, T, D), q.dtype) for _ in range(3)
-        ),
-        interpret=_interpret(),
-    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), g)
+    return _mha_bwd_part(n_heads, float(drop_rate))(
+        q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), g)
 
 
 def mha_pallas_supported(T, D, n_heads):
@@ -960,56 +991,93 @@ def _conv_block_specs(B, T, D, L, k):
     return x_spec, gb_spec, dw_spec, wp_spec, seed_spec
 
 
+@functools.lru_cache(maxsize=None)
+def _conv_block_fwd_part(L, k, drop_rate):
+    def raw(x, gam3, beta3, dw, wp, bp3, seeds3):
+        B, T, D = x.shape
+        x_spec, gb_spec, dw_spec, wp_spec, seed_spec = _conv_block_specs(
+            B, T, D, L, k)
+        return pl.pallas_call(
+            _make_conv_block_fwd_kernel(L, k, drop_rate, x.dtype.type),
+            grid=(B,),
+            in_specs=[x_spec, gb_spec, gb_spec, dw_spec, wp_spec, gb_spec,
+                      seed_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+            interpret=_interpret(),
+        )(x, gam3, beta3, dw, wp, bp3, seeds3)
+
+    return _partition_batched_call(
+        raw, in_ranks=(3,) * 7,
+        in_batched=(True, False, False, False, False, False, True),
+        out_ranks=(3,), out_batched=(True,),
+        rule=("b t1 d1, l1 o1 d2, l2 o2 d3, l3 k1 d4, l4 d5 d6, l5 o3 d7,"
+              " b s1 s2 -> b t2 d8"),
+        batch_dim=0)
+
+
 def _conv_block_fwd_raw(L, k, drop_rate, x, gam, beta, dw, wp, bp, seeds):
     B, T, D = x.shape
-    x_spec, gb_spec, dw_spec, wp_spec, seed_spec = _conv_block_specs(
-        B, T, D, L, k)
-    return pl.pallas_call(
-        _make_conv_block_fwd_kernel(L, k, float(drop_rate), x.dtype.type),
-        grid=(B,),
-        in_specs=[x_spec, gb_spec, gb_spec, dw_spec, wp_spec, gb_spec,
-                  seed_spec],
-        out_specs=x_spec,
-        out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
-        interpret=_interpret(),
-    )(x, gam.reshape(L, 1, D), beta.reshape(L, 1, D), dw, wp,
-      bp.reshape(L, 1, D), seeds.reshape(B, 1, 1))
+    return _conv_block_fwd_part(L, k, float(drop_rate))(
+        x, gam.reshape(L, 1, D), beta.reshape(L, 1, D), dw, wp,
+        bp.reshape(L, 1, D), seeds.reshape(B, 1, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _conv_block_bwd_part(L, k, drop_rate):
+    def raw(x, gam3, beta3, dw, wp, bp3, seeds3, g):
+        B, T, D = x.shape
+        x_spec, gb_spec, dw_spec, wp_spec, seed_spec = _conv_block_specs(
+            B, T, D, L, k)
+        f32 = jnp.float32
+        return pl.pallas_call(
+            _make_conv_block_bwd_kernel(L, k, drop_rate, x.dtype.type),
+            grid=(B,),
+            in_specs=[x_spec, gb_spec, gb_spec, dw_spec, wp_spec, gb_spec,
+                      seed_spec, x_spec],
+            out_specs=(
+                x_spec,
+                pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, k, D), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, D, D), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, T, D), x.dtype),
+                jax.ShapeDtypeStruct((L, 1, D), f32),
+                jax.ShapeDtypeStruct((L, 1, D), f32),
+                jax.ShapeDtypeStruct((L, k, D), f32),
+                jax.ShapeDtypeStruct((L, D, D), f32),
+                jax.ShapeDtypeStruct((L, 1, D), f32),
+            ),
+            interpret=_interpret(),
+        )(x, gam3, beta3, dw, wp, bp3, seeds3, g)
+
+    # dx shards with the batch; the five weight grads are cross-batch
+    # reductions -> psum over the batch axis in the lowering
+    return _partition_batched_call(
+        raw, in_ranks=(3,) * 8,
+        in_batched=(True, False, False, False, False, False, True, True),
+        out_ranks=(3,) * 6,
+        out_batched=(True, False, False, False, False, False),
+        rule=("b t1 d1, l1 o1 d2, l2 o2 d3, l3 k1 d4, l4 d5 d6, l5 o3 d7,"
+              " b s1 s2, b t2 d8 -> b t3 d9, l6 o4 da, l7 o5 db, l8 k2 dc,"
+              " l9 dd de, la o6 df"),
+        reduce_out=(1, 2, 3, 4, 5),
+        batch_dim=0)
 
 
 def _conv_block_bwd_raw(L, k, drop_rate, x, gam, beta, dw, wp, bp, seeds, g):
     B, T, D = x.shape
-    x_spec, gb_spec, dw_spec, wp_spec, seed_spec = _conv_block_specs(
-        B, T, D, L, k)
-    f32 = jnp.float32
-    return pl.pallas_call(
-        _make_conv_block_bwd_kernel(L, k, float(drop_rate), x.dtype.type),
-        grid=(B,),
-        in_specs=[x_spec, gb_spec, gb_spec, dw_spec, wp_spec, gb_spec,
-                  seed_spec, x_spec],
-        out_specs=(
-            x_spec,
-            pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, k, D), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, D, D), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((L, 1, D), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T, D), x.dtype),
-            jax.ShapeDtypeStruct((L, 1, D), f32),
-            jax.ShapeDtypeStruct((L, 1, D), f32),
-            jax.ShapeDtypeStruct((L, k, D), f32),
-            jax.ShapeDtypeStruct((L, D, D), f32),
-            jax.ShapeDtypeStruct((L, 1, D), f32),
-        ),
-        interpret=_interpret(),
-    )(x, gam.reshape(L, 1, D), beta.reshape(L, 1, D), dw, wp,
-      bp.reshape(L, 1, D), seeds.reshape(B, 1, 1), g)
+    return _conv_block_bwd_part(L, k, float(drop_rate))(
+        x, gam.reshape(L, 1, D), beta.reshape(L, 1, D), dw, wp,
+        bp.reshape(L, 1, D), seeds.reshape(B, 1, 1), g)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
@@ -1209,39 +1277,71 @@ def _flash_specs(B, T, D, n_heads, TQ):
     return qblk, full, mask, seed, lse
 
 
+@functools.lru_cache(maxsize=None)
+def _mha_flash_fwd_part(n_heads, drop_rate):
+    def raw(q, k, v, mask3, seeds3):
+        B, T, D = q.shape
+        TQ, TK = min(_FLASH_TQ, T), min(_FLASH_TK, T)
+        qblk, full, mask_s, seed_s, lse_s = _flash_specs(B, T, D, n_heads,
+                                                         TQ)
+        return pl.pallas_call(
+            _make_flash_fwd_kernel(n_heads, drop_rate, q.dtype.type,
+                                   TQ, TK),
+            grid=(B, T // TQ),
+            in_specs=[qblk, full, full, mask_s, seed_s],
+            out_specs=(qblk, lse_s),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, T, D), q.dtype),
+                jax.ShapeDtypeStruct((B, 1, n_heads * T), jnp.float32),
+            ),
+            interpret=_interpret(),
+        )(q, k, v, mask3, seeds3)
+
+    return _partition_batched_call(
+        raw, in_ranks=(3,) * 5, in_batched=(True,) * 5,
+        out_ranks=(3, 3), out_batched=(True, True),
+        rule=("b q1 d1, b k1 d2, b k2 d3, b m1 m2, b s1 s2"
+              " -> b q2 d4, b l1 l2"),
+        batch_dim=0)
+
+
 def _mha_flash_fwd_raw(n_heads, drop_rate, q, k, v, mask, seeds):
     B, T, D = q.shape
-    TQ, TK = min(_FLASH_TQ, T), min(_FLASH_TK, T)
-    qblk, full, mask_s, seed_s, lse_s = _flash_specs(B, T, D, n_heads, TQ)
-    return pl.pallas_call(
-        _make_flash_fwd_kernel(n_heads, float(drop_rate), q.dtype.type,
-                               TQ, TK),
-        grid=(B, T // TQ),
-        in_specs=[qblk, full, full, mask_s, seed_s],
-        out_specs=(qblk, lse_s),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, 1, n_heads * T), jnp.float32),
-        ),
-        interpret=_interpret(),
-    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1))
+    return _mha_flash_fwd_part(n_heads, float(drop_rate))(
+        q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1))
+
+
+@functools.lru_cache(maxsize=None)
+def _mha_flash_bwd_part(n_heads, drop_rate):
+    def raw(q, k, v, mask3, seeds3, out, lse, g):
+        B, T, D = q.shape
+        TQ, TK = min(_FLASH_TQ, T), min(_FLASH_TK, T)
+        qblk, full, mask_s, seed_s, lse_s = _flash_specs(B, T, D, n_heads,
+                                                         TQ)
+        f32 = jnp.float32
+        return pl.pallas_call(
+            _make_flash_bwd_kernel(n_heads, drop_rate, q.dtype.type,
+                                   TQ, TK),
+            grid=(B, T // TQ),
+            in_specs=[qblk, full, full, mask_s, seed_s, qblk, lse_s, qblk],
+            out_specs=(qblk, full, full),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, T, D), q.dtype),
+                jax.ShapeDtypeStruct((B, T, D), f32),
+                jax.ShapeDtypeStruct((B, T, D), f32),
+            ),
+            interpret=_interpret(),
+        )(q, k, v, mask3, seeds3, out, lse, g)
+
+    return _partition_batched_call(
+        raw, in_ranks=(3,) * 8, in_batched=(True,) * 8,
+        out_ranks=(3, 3, 3), out_batched=(True,) * 3,
+        rule=("b q1 d1, b k1 d2, b k2 d3, b m1 m2, b s1 s2, b o1 o2,"
+              " b l1 l2, b g1 g2 -> b q2 d4, b k3 d5, b k4 d6"),
+        batch_dim=0)
 
 
 def _mha_flash_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds, out, lse, g):
     B, T, D = q.shape
-    TQ, TK = min(_FLASH_TQ, T), min(_FLASH_TK, T)
-    qblk, full, mask_s, seed_s, lse_s = _flash_specs(B, T, D, n_heads, TQ)
-    f32 = jnp.float32
-    return pl.pallas_call(
-        _make_flash_bwd_kernel(n_heads, float(drop_rate), q.dtype.type,
-                               TQ, TK),
-        grid=(B, T // TQ),
-        in_specs=[qblk, full, full, mask_s, seed_s, qblk, lse_s, qblk],
-        out_specs=(qblk, full, full),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, T, D), q.dtype),
-            jax.ShapeDtypeStruct((B, T, D), f32),
-            jax.ShapeDtypeStruct((B, T, D), f32),
-        ),
-        interpret=_interpret(),
-    )(q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), out, lse, g)
+    return _mha_flash_bwd_part(n_heads, float(drop_rate))(
+        q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), out, lse, g)
