@@ -265,3 +265,37 @@ def test_cli_eval_split_val(tmp_path, tacos_root, capsys):
              + ["--eval_split", "val"])
     out = capsys.readouterr().out
     assert "Rank@1, IoU=0.7" in out
+
+
+@pytest.mark.parametrize("setting", ["0", "off", "OFF", "false", "no"])
+def test_compile_cache_disable_spellings(tmp_path, monkeypatch, setting):
+    """VSLNET_COMPILE_CACHE=off/false/no disables the cache instead of
+    creating a relative directory literally named 'off' (round-2 bug:
+    14 MB of compile-cache binaries got committed under off/)."""
+    from vslnet_tpu.utils import cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "_DONE", False)
+    monkeypatch.setenv("VSLNET_COMPILE_CACHE", setting)
+    monkeypatch.chdir(tmp_path)
+    import jax
+
+    before = jax.config.jax_compilation_cache_dir
+    cache_mod.enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == before
+    assert not (tmp_path / setting).exists()
+
+
+def test_compile_cache_explicit_dir(tmp_path, monkeypatch):
+    from vslnet_tpu.utils import cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "_DONE", False)
+    monkeypatch.setenv("VSLNET_COMPILE_CACHE", str(tmp_path / "xc"))
+    import jax
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        cache_mod.enable_compilation_cache()
+        got = jax.config.jax_compilation_cache_dir
+        assert got is not None and got.startswith(str(tmp_path / "xc"))
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)

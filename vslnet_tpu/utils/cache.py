@@ -3,7 +3,8 @@
 The I3D trunk takes minutes to compile on TPU; the VSLNet train step tens of
 seconds. Enabling JAX's persistent compilation cache makes every process
 after the first start instantly. Called by all CLI entry points; disable
-with VSLNET_COMPILE_CACHE=0 or point elsewhere with VSLNET_COMPILE_CACHE=<dir>.
+with VSLNET_COMPILE_CACHE=0/off/false/no or point elsewhere with
+VSLNET_COMPILE_CACHE=<dir>.
 """
 import os
 
@@ -18,7 +19,7 @@ def enable_compilation_cache():
         return
     _DONE = True
     setting = os.environ.get("VSLNET_COMPILE_CACHE", "")
-    if setting == "0":
+    if setting.strip().lower() in ("0", "off", "false", "no", "disable", "disabled", "none"):
         return
     cache_dir = setting or os.path.join(
         os.path.expanduser("~"), ".cache", "vslnet_tpu", "xla"
