@@ -22,6 +22,15 @@ except Exception:
 jax.config.update("jax_threefry_partitionable", True)
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-second tests (subprocess smoke tests, interpreter-mode "
+        "kernel sweeps); deselect with -m 'not slow' for a fast iteration "
+        "loop",
+    )
+
+
 def pytest_sessionstart(session):
     n = jax.device_count()
     assert n == 8, (

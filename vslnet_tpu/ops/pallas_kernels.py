@@ -1130,6 +1130,10 @@ _FLASH_TK = 256
 
 
 def mha_flash_fits(T, D, n_heads, budget_bytes=12 * 1024 * 1024):
+    """T must be a multiple of the query tile (128); the KV loop handles a
+    partial tail tile (T % _FLASH_TK == 128), so odd multiples of 128 are
+    fully attended — round-2 bug where the tail tile was dropped is fixed
+    and pinned by the shape-sweep parity test."""
     if D % n_heads or (D // n_heads) % 8:
         return False
     if T % _FLASH_TQ:
@@ -1164,17 +1168,20 @@ def _make_flash_fwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
         qi = pl.program_id(1)
         seed = seed_ref[0, 0, 0].astype(jnp.int32)
         thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
+        n_full = T // TK
         for h in range(n_heads):
             qh = q_ref[0, :, h * hd:(h + 1) * hd] * scale
-            m = jnp.full((TQ, 1), -jnp.inf, jnp.float32)
-            l = jnp.zeros((TQ, 1), jnp.float32)
-            acc = jnp.zeros((TQ, hd), jnp.float32)
-            for kj in range(T // TK):
-                kh = k_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
-                vh = v_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
+
+            def step(k0, width, m, l, acc):
+                """One online-softmax KV tile [k0, k0+width); k0 may be a
+                traced multiple of TK (width==TK) or the static tail
+                offset (width == T % TK, a multiple of TQ=128 by the
+                fits-gate, so slices stay tile-aligned)."""
+                kh = k_ref[0, pl.dslice(k0, width), h * hd:(h + 1) * hd]
+                vh = v_ref[0, pl.dslice(k0, width), h * hd:(h + 1) * hd]
                 s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32,
                             precision=_prec(dtype))
-                negj = (1.0 - mask_ref[0, 0:1, kj * TK:(kj + 1) * TK]
+                negj = (1.0 - mask_ref[0, 0:1, pl.dslice(k0, width)]
                         .astype(jnp.float32)) * -1e30
                 s = s + negj
                 m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -1182,7 +1189,7 @@ def _make_flash_fwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
                 alpha = jnp.exp(m - m_new)
                 l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
                 if drop_rate > 0.0:
-                    bits = _hash_tile(seed, h, (TQ, TK), qi * TQ, kj * TK)
+                    bits = _hash_tile(seed, h, (TQ, width), qi * TQ, k0)
                     p_use = jnp.where(bits >= thresh,
                                       p * (1.0 / (1.0 - drop_rate)), 0.0)
                 else:
@@ -1191,7 +1198,20 @@ def _make_flash_fwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
                     p_use.astype(dtype), vh,
                     preferred_element_type=jnp.float32,
                     precision=_prec(dtype))
-                m = m_new
+                return m_new, l, acc
+
+            # rolled loop over full tiles: one tile's temporaries live at a
+            # time, so the VMEM stack stays constant in T (the fully
+            # unrolled form blew the 16 MB scoped-vmem limit at T>=896)
+            m, l, acc = jax.lax.fori_loop(
+                0, n_full,
+                lambda kj, c: step(kj * TK, TK, *c),
+                (jnp.full((TQ, 1), -jnp.inf, jnp.float32),
+                 jnp.zeros((TQ, 1), jnp.float32),
+                 jnp.zeros((TQ, hd), jnp.float32)),
+            )
+            if T % TK:  # static tail tile (T % 256 == 128)
+                m, l, acc = step(n_full * TK, T % TK, m, l, acc)
             out_ref[0, :, h * hd:(h + 1) * hd] = (acc / l).astype(dtype)
             lse_ref[0, 0, h * TQ:(h + 1) * TQ] = (m + jnp.log(l))[:, 0]
 
@@ -1214,6 +1234,7 @@ def _make_flash_bwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
             dk_ref[...] = jnp.zeros_like(dk_ref)
             dv_ref[...] = jnp.zeros_like(dv_ref)
 
+        n_full = T // TK
         for h in range(n_heads):
             qh = q_ref[0, :, h * hd:(h + 1) * hd]
             gh = g_ref[0, :, h * hd:(h + 1) * hd]
@@ -1221,24 +1242,27 @@ def _make_flash_bwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
             lse = lse_ref[0, 0, h * TQ:(h + 1) * TQ][:, None]
             delta = jnp.sum(gh.astype(jnp.float32) * oh.astype(jnp.float32),
                             axis=-1, keepdims=True)
-            dq_acc = jnp.zeros((TQ, hd), jnp.float32)
             qh_s = (qh.astype(jnp.float32) * scale).astype(dtype)
-            for kj in range(T // TK):
-                kh = k_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
-                vh = v_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd]
+
+            def step(k0, width, dq_acc):
+                """dk/dv accumulation + dq partial for KV tile
+                [k0, k0+width); see the fwd kernel for the rolled-loop /
+                static-tail structure (same VMEM-stack rationale)."""
+                kh = k_ref[0, pl.dslice(k0, width), h * hd:(h + 1) * hd]
+                vh = v_ref[0, pl.dslice(k0, width), h * hd:(h + 1) * hd]
                 s = jnp.dot(qh_s, kh.T, preferred_element_type=jnp.float32,
                             precision=_prec(dtype))
-                negj = (1.0 - mask_ref[0, 0:1, kj * TK:(kj + 1) * TK]
+                negj = (1.0 - mask_ref[0, 0:1, pl.dslice(k0, width)]
                         .astype(jnp.float32)) * -1e30
                 s = s + negj
                 p = jnp.exp(s - lse)  # normalized probs, exact recompute
                 if drop_rate > 0.0:
-                    bits = _hash_tile(seed, h, (TQ, TK), qi * TQ, kj * TK)
+                    bits = _hash_tile(seed, h, (TQ, width), qi * TQ, k0)
                     keep = bits >= thresh
                     pd = jnp.where(keep, p * (1.0 / (1.0 - drop_rate)), 0.0)
                 else:
                     pd = p
-                dv_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd] += (
+                dv_ref[0, pl.dslice(k0, width), h * hd:(h + 1) * hd] += (
                     jnp.dot(pd.astype(dtype).T, gh,
                             preferred_element_type=jnp.float32,
                             precision=_prec(dtype))).astype(dv_ref.dtype)
@@ -1253,10 +1277,19 @@ def _make_flash_bwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
                 dq_acc = dq_acc + jnp.dot(
                     ds_t, kh, preferred_element_type=jnp.float32,
                     precision=_prec(dtype))
-                dk_ref[0, kj * TK:(kj + 1) * TK, h * hd:(h + 1) * hd] += (
+                dk_ref[0, pl.dslice(k0, width), h * hd:(h + 1) * hd] += (
                     jnp.dot(ds_t.T, qh_s,
                             preferred_element_type=jnp.float32,
                             precision=_prec(dtype))).astype(dk_ref.dtype)
+                return dq_acc
+
+            dq_acc = jax.lax.fori_loop(
+                0, n_full,
+                lambda kj, acc: step(kj * TK, TK, acc),
+                jnp.zeros((TQ, hd), jnp.float32),
+            )
+            if T % TK:  # static tail tile (T % 256 == 128)
+                dq_acc = step(n_full * TK, T % TK, dq_acc)
             dq_ref[0, :, h * hd:(h + 1) * hd] = (dq_acc * scale).astype(
                 dq_ref.dtype)
 
