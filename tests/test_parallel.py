@@ -178,6 +178,7 @@ def test_distributed_initialize_noop_single_process():
     assert process_count() == 1
 
 
+@pytest.mark.slow
 def test_graft_entry_multichip_from_one_device_env():
     """Drive dryrun_multichip exactly the way the driver does: a clean
     subprocess whose backend exposes ONE device (no conftest device
@@ -207,13 +208,16 @@ def test_graft_entry_multichip_from_one_device_env():
     assert "dryrun_multichip(8)" in proc.stdout
 
 
+@pytest.mark.slow
 def test_two_process_multihost_smoke(tmp_path):
     """Closest-possible pod shakeout in a 1-chip environment: two real
     processes x 4 CPU devices each, gloo collectives, one global 8-device
-    mesh. Exercises jax.distributed.initialize, host_shard, the
-    make_array_from_process_local_data branch of shard_batch, and the
-    host-local eval mesh — all unreachable from a single process. Both
-    hosts must report identical loss + eval metrics."""
+    mesh. Exercises jax.distributed.initialize, the global_put "idxs"
+    assembly, the FUSED multi-step train + whole-split eval under
+    process_count()>1 (pinned against the per-step path), and the full
+    Runner.train() loop with coordinated multi-process Orbax checkpointing
+    into a shared model_dir plus true resume — all unreachable from a
+    single process. Both hosts must report identical losses + metrics."""
     import os
     import socket
     import subprocess

@@ -58,19 +58,47 @@ def _spec_for(key, mesh):
     return P("data")
 
 
+def global_put(arr, mesh, spec):
+    """Place one IDENTICAL-on-every-host array onto a (possibly
+    multi-process) mesh under `spec`.
+
+    Single-process this is a plain async device_put. Multi-process it
+    assembles the global jax.Array with make_array_from_callback: every
+    host holds the same full copy and serves only its own addressable
+    shards from it — no cross-host data movement, valid for replicated
+    AND sharded specs (unlike make_array_from_process_local_data, which
+    expects per-host-disjoint local chunks)."""
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(arr, sharding)
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(
+        arr.shape, sharding, lambda idx: arr[idx]
+    )
+
+
 def shard_batch(batch, mesh):
     """Place each batch leaf: leading dim on 'data'; video-time second dim
     additionally on 'seq' when the mesh has one. Batch size must divide by
     the data-axis size (loaders produce fixed-B batches) and max_pos_len by
     the seq-axis size.
 
-    Single-process: one async device_put per leaf. Multi-process: each host
-    supplies its local B/P rows and the global [B] array is assembled with
-    jax.make_array_from_process_local_data (the host's rows land on its own
-    addressable devices; nothing is silently dropped)."""
+    Single-process: one async device_put per leaf. Multi-process, two
+    regimes: "idxs"-layout batches are GLOBAL (every host draws the same
+    [B] id row from the same seeded shuffle stream) and are placed with
+    global_put; host-local batches ("vfeats"/"rows" layouts over
+    host-sharded records) carry each host's B/P rows and the global array
+    is assembled with jax.make_array_from_process_local_data (the host's
+    rows land on its own addressable devices; nothing is silently
+    dropped)."""
     if jax.process_count() == 1:
         return {
             k: jax.device_put(v, NamedSharding(mesh, _spec_for(k, mesh)))
+            for k, v in batch.items()
+        }
+    if "idxs" in batch:
+        return {
+            k: global_put(v, mesh, _spec_for(k, mesh))
             for k, v in batch.items()
         }
     return {

@@ -64,17 +64,18 @@ def count_params(params):
 def place_split(arrays, mesh):
     """Place a split's encoded arrays in device HBM: replicated, except the
     [N, T] label grids which are T-sharded under sequence parallelism (the
-    on-device gather then keeps the time axis distributed)."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    on-device gather then keeps the time axis distributed). Multi-process,
+    every host holds identical full copies (the splits are encoded from the
+    UNsharded record list), so global_put assembles valid global arrays."""
+    from jax.sharding import PartitionSpec as P
 
-    rep = NamedSharding(mesh, P())
-    tsh = (
-        NamedSharding(mesh, P(None, "seq"))
-        if "seq" in mesh.axis_names else rep
-    )
+    from vslnet_tpu.parallel.mesh import global_put
+
+    rep = P()
+    tsh = P(None, "seq") if "seq" in mesh.axis_names else rep
     return {
-        k: jax.device_put(
-            np.ascontiguousarray(v),
+        k: global_put(
+            np.ascontiguousarray(v), mesh,
             tsh if k in ("s_labels", "e_labels", "h_labels") else rep,
         )
         for k, v in arrays.items()
@@ -317,7 +318,11 @@ def eval_test(eval_step, params, frozen, data_loader, mesh=None,
     ious = []
     it = data_loader.test_iter(mode)
     if mesh is not None:
-        if jax.process_count() > 1:
+        if (jax.process_count() > 1
+                and getattr(data_loader, "layout", "vfeats") != "idxs"):
+            # host-local batch layouts: every host iterates the full split
+            # but contributes only its B/P rows; "idxs" batches are global
+            # (identical on all hosts) and shard_batch global_puts them
             it = _host_rows(it)
         it = prefetch_to_device(it, mesh)
     for records, batch in it:
@@ -410,11 +415,28 @@ class Runner:
             [dataset["train_set"], dataset.get("val_set"),
              dataset["test_set"]], configs,
         )
-        # multi-host: each process trains on a disjoint slice of the train
-        # records, assembling B/P local rows of the global [B] batch
-        # (parallel/mesh.py builds the global array across processes);
-        # evaluation runs the FULL test set on a host-local mesh so every
-        # host computes identical metrics without cross-host gathers
+        # device-resident data: keep the whole packed [N,T,D] feature bank
+        # and the encoded split arrays in HBM so each step transfers only
+        # int32 ids and every gather runs on-device — per-step H2D drops
+        # from megabytes to ~B*4 bytes
+        bank_bytes = visual_features.bank.nbytes
+        use_device_bank = configs.device_bank == "on" or (
+            configs.device_bank == "auto"
+            and bank_bytes <= float(configs.device_bank_max_gb) * 1e9
+        )
+        layout = "idxs" if use_device_bank else "vfeats"
+        # multi-host data feeding, two regimes:
+        # - "idxs" (device bank fits): every host encodes the FULL train
+        #   split into identical replicated arrays and draws the same global
+        #   [B] id row per step from the same seeded shuffle; the batch axis
+        #   shards over the global 'data' axis, so each device gathers its
+        #   own rows locally. This keeps the fused multi-step/whole-split
+        #   paths (the dispatch-amortizing ones) available at pod scale —
+        #   host RAM/HBM cost is the encoded ids+labels (~tens of MB), tiny
+        #   next to the already-replicated feature bank.
+        # - "vfeats" (bank too big for HBM): records are host-sharded and
+        #   each host streams its B/P local rows of every batch
+        #   (make_array_from_process_local_data assembly).
         from vslnet_tpu.parallel.distributed import host_shard
 
         train_records = dataset["train_set"]
@@ -426,26 +448,9 @@ class Runner:
                     "batch_size %d must divide by process count %d"
                     % (configs.batch_size, P)
                 )
-            local_batch_size = configs.batch_size // P
-            train_records = host_shard(train_records)
-        # device-resident data: keep the whole packed [N,T,D] feature bank
-        # (and, single-process, the encoded split arrays too) in HBM so each
-        # step transfers only int32 ids and every gather runs on-device —
-        # per-step H2D drops from megabytes to ~B*4 bytes
-        bank_bytes = visual_features.bank.nbytes
-        use_device_bank = configs.device_bank == "on" or (
-            configs.device_bank == "auto"
-            and bank_bytes <= float(configs.device_bank_max_gb) * 1e9
-        )
-        if not use_device_bank:
-            layout = "vfeats"
-        elif jax.process_count() == 1:
-            layout = "idxs"
-        else:
-            # multi-host keeps host-sharded records, so split arrays differ
-            # per host and cannot be device-replicated; only the (identical)
-            # feature bank is resident
-            layout = "rows"
+            if layout == "vfeats":
+                local_batch_size = configs.batch_size // P
+                train_records = host_shard(train_records)
         self.batch_layout = layout
         self.train_loader = TrainLoader(
             train_records, visual_features, configs,
@@ -529,15 +534,15 @@ class Runner:
         self.train_split_dev = None
         self.eval_split_dev = {}
         if use_device_bank:
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            from jax.sharding import PartitionSpec as P
+
+            from vslnet_tpu.parallel.mesh import global_put
 
             spec = (
                 P(None, "seq") if "seq" in self.mesh.axis_names else P()
             )
             bank_np = np.ascontiguousarray(visual_features.bank)
-            self.device_bank = jax.device_put(
-                bank_np, NamedSharding(self.mesh, spec)
-            )
+            self.device_bank = global_put(bank_np, self.mesh, spec)
             self.eval_bank = self.device_bank
             if layout == "idxs":
                 self.train_split_dev = place_split(
@@ -577,15 +582,20 @@ class Runner:
         return self._eval_step(params, frozen, batch, bank=bank, split=split)
 
     def evaluate(self, mode="test", epoch=None, global_step=None):
-        if self._eval_many is not None and jax.process_count() == 1:
+        if self._eval_many is not None:
             # whole split in ONE dispatch: scan the eval step over the
-            # device-resident split's [nb, B] sequential id blocks
-            from jax.sharding import NamedSharding, PartitionSpec as P
+            # device-resident split's [nb, B] sequential id blocks. Valid
+            # multi-host too: split arrays are replicated global arrays, the
+            # id blocks are identical on every host (global_put), and the
+            # decoded indices come back replicated, so every host computes
+            # identical metrics with no cross-host gather.
+            from jax.sharding import PartitionSpec as P
+
+            from vslnet_tpu.parallel.mesh import global_put
 
             split = self.test_loader._split(mode)
-            ids = jax.device_put(
-                self.test_loader.eval_idxs(mode),
-                NamedSharding(self.mesh, P(None, "data")),
+            ids = global_put(
+                self.test_loader.eval_idxs(mode), self.mesh, P(None, "data")
             )
             starts, ends = self._eval_many(
                 self.params, self.frozen, ids,
@@ -613,11 +623,21 @@ class Runner:
         os.makedirs(self.log_dir, exist_ok=True)
         from vslnet_tpu.config import save_config
 
-        save_config(configs, self.model_dir)
+        # multi-host: model_dir is SHARED; process 0 owns the text/TB
+        # artifacts (all hosts compute identical metrics), every process
+        # participates in the coordinated Orbax saves below
+        is_primary = jax.process_index() == 0
+        if is_primary:
+            save_config(configs, self.model_dir)
         num_train_batches = self.num_train_batches  # global across hosts
         eval_period = configs.eval_period or max(1, num_train_batches // 2)
-        writer = MetricsWriter(self.log_dir, configs.log_to_tensorboard,
-                               append=resume)
+        from vslnet_tpu.utils.logging import NullMetricsWriter
+
+        writer = (
+            MetricsWriter(self.log_dir, configs.log_to_tensorboard,
+                          append=resume)
+            if is_primary else NullMetricsWriter()
+        )
         ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
         best_r1i7 = -1.0
         global_step = 0
@@ -636,7 +656,10 @@ class Runner:
         # train exactly num_train_steps in total; a resumed run (possibly
         # from a mid-epoch best checkpoint) runs the remaining steps
         target_steps = configs.num_train_steps
-        score_path = os.path.join(self.model_dir, "eval_results.txt")
+        score_path = (
+            os.path.join(self.model_dir, "eval_results.txt")
+            if is_primary else os.devnull
+        )
         t_start = time.time()
         score_mode = "a" if (resume and global_step > 0) else "w"
         period_t0 = time.time()
@@ -699,12 +722,15 @@ class Runner:
             while global_step < target_steps and fused:
                 epoch = global_step // num_train_batches
                 # [nb, B]: batch axis sharded over 'data' exactly like the
-                # per-step path's shard_batch; step axis replicated
-                from jax.sharding import NamedSharding, PartitionSpec as P
+                # per-step path's shard_batch; step axis replicated. The id
+                # block is identical on every host (same seeded shuffle), so
+                # global_put is valid multi-process.
+                from jax.sharding import PartitionSpec as P
 
-                epoch_ids = jax.device_put(
-                    self.train_loader.epoch_idxs(),
-                    NamedSharding(self.mesh, P(None, "data")),
+                from vslnet_tpu.parallel.mesh import global_put
+
+                epoch_ids = global_put(
+                    self.train_loader.epoch_idxs(), self.mesh, P(None, "data")
                 )
                 nb, pos = epoch_ids.shape[0], 0
                 while pos < nb and global_step < target_steps:

@@ -46,3 +46,15 @@ class MetricsWriter:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullMetricsWriter:
+    """Drop-in no-op writer for non-zero processes in multi-host runs: every
+    host computes identical metrics, so only process 0 writes the shared
+    model_dir artifacts (metrics.jsonl / TB events / eval_results.txt)."""
+
+    def write(self, value_pairs, global_step):
+        pass
+
+    def close(self):
+        pass
