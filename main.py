@@ -93,18 +93,24 @@ def main(argv=None):
         runner.restore()
         loc = Localizer(runner, dataset["word_dict"], dataset["char_dict"])
         feats = visual_features[configs.vid]
-        # duration: look it up from any record of this vid, else treat the
-        # feature grid length as seconds
-        duration = None
-        for split in ("test_set", "val_set", "train_set"):
-            for rec in dataset.get(split) or []:
-                if rec["vid"] == configs.vid:
-                    duration = rec["duration"]
-                    break
-            if duration is not None:
-                break
+        # duration (seconds): --duration wins; else look it up from any
+        # annotation record of this vid. No silent fallback — a guessed
+        # duration scales the decoded span wrong (util/data_util.py:109-114
+        # decode contract), so an unknown vid without --duration is an error.
+        duration = configs.duration
         if duration is None:
-            duration = float(feats.shape[0])
+            for split in ("test_set", "val_set", "train_set"):
+                for rec in dataset.get(split) or []:
+                    if rec["vid"] == configs.vid:
+                        duration = rec["duration"]
+                        break
+                if duration is not None:
+                    break
+        if duration is None:
+            raise ValueError(
+                "Video {} has no annotation record to read its duration "
+                "from; pass --duration <seconds>".format(configs.vid)
+            )
         start_s, end_s = loc.localize(feats, duration, configs.query)
         import json
 

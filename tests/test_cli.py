@@ -38,7 +38,8 @@ def data_root(tmp_path_factory):
     )
     shapes = {}
     D = 16
-    for v in vids:
+    # VID99: features but NO annotation record (predict-duration error path)
+    for v in vids + ["VID99"]:
         n = int(rng.integers(10, 30))
         np.save(fdir / (v + ".npy"),
                 rng.standard_normal((n, D)).astype(np.float32))
@@ -103,6 +104,23 @@ def test_cli_predict_requires_query(tmp_path, data_root):
     with pytest.raises(ValueError, match="No features for video"):
         cli.main(_args(data_root, tmp_path, "--mode", "predict",
                        "--vid", "NOPE", "--query", "x"))
+
+
+def test_cli_predict_duration_flag(tmp_path, data_root, capsys):
+    """A vid with features but no annotation record must FAIL without
+    --duration (a guessed duration decodes a wrong span) and succeed with
+    it, scaling the decoded span to the given seconds."""
+    cli.main(_args(data_root, tmp_path, "--mode", "train"))
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="--duration"):
+        cli.main(_args(data_root, tmp_path, "--mode", "predict",
+                       "--vid", "VID99", "--query", "a person opens"))
+    cli.main(_args(data_root, tmp_path, "--mode", "predict",
+                   "--vid", "VID99", "--query", "a person opens",
+                   "--duration", "40.0"))
+    pred = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pred["vid"] == "VID99"
+    assert 0.0 <= pred["start"] <= pred["end"] <= 40.0 + 1e-6
 
 
 def test_cli_test_mode_reloads_saved_config(tmp_path, data_root):

@@ -78,6 +78,9 @@ class Config:
     resume: bool = False               # resume training from latest checkpoint
     query: Optional[str] = None        # --mode predict: the text query
     vid: Optional[str] = None          # --mode predict: target video id
+    duration: Optional[float] = None   # --mode predict: video duration in
+    #                                    seconds (required when the vid has
+    #                                    no annotation record to read it from)
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
     # BERT text-encoder variant
     text_encoder: str = "glove"        # [glove | bert]
@@ -141,6 +144,8 @@ def build_parser():
             continue
         if field.type in ("Optional[int]", Optional[int]):
             argtype = int
+        elif field.type in ("Optional[float]", Optional[float]):
+            argtype = float
         elif field.type in ("Optional[str]", Optional[str]):
             argtype = str
         elif isinstance(default, bool):

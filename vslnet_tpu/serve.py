@@ -6,7 +6,9 @@ this adds one (production/serving path):
     from vslnet_tpu.serve import Localizer
     loc = Localizer.from_model_dir("ckpt/vslnet_charades_new_128_rnn/model",
                                    dataset, visual_features)
-    start_s, end_s, score = loc.localize("v123", "person opens the door")
+    start_s, end_s = loc.localize(video_features,  # [n_clips, D] array
+                                  duration_seconds,
+                                  "person opens the door")
 
 or via the CLI:
 
