@@ -45,15 +45,46 @@ PAPER = {
     "tacos": {"r1i3": 29.61, "r1i5": 24.27, "r1i7": 20.03, "miou": 24.11},
 }
 
-# per-task reference run shape (main.py:16-47 + README notes); fv/dim are
-# re-probed from the data on disk
+# Per-task FALLBACK run shape, used only when no released-checkpoint
+# configs.json is found to probe (see probe_ckpt_config): char_dim 100 for
+# activitynet per the reference's own flag note (main.py:28 "set to 100 for
+# activitynet"); TACoS raises max_pos_len because its cooking videos run
+# thousands of clips and the paper evaluates at a larger grid (SURVEY.md §5
+# — attention is T², which is why the others stay at the 128 default).
+# fv/video_feature_dim are re-probed from the data on disk.
 TASK_DEFAULTS = {
     "charades": {"fv": "new", "max_pos_len": 128, "char_dim": 50},
     "activitynet": {"fv": "org", "max_pos_len": 128, "char_dim": 100},
-    "tacos": {"fv": "org", "max_pos_len": 128, "char_dim": 50},
+    "tacos": {"fv": "org", "max_pos_len": 512, "char_dim": 50},
 }
 
+# keys adopted from a released checkpoint's configs.json: everything that
+# changes the compiled model shape or the label/metric grid
+CKPT_CONFIG_KEYS = (
+    "fv", "max_pos_len", "char_dim", "word_dim", "hidden_size", "num_heads",
+    "video_feature_dim", "highlight_lambda", "extend", "drop_rate",
+    "predictor",
+)
+
 METRICS = ("r1i3", "r1i5", "r1i7", "miou")
+
+
+def probe_ckpt_config(ckpt_path):
+    """Released checkpoints ship the train-time configs.json next to the
+    .ckpt/.t7 files (reference main.py:81 saves it into model_dir, :120-123
+    reload it at test time). Probe it from the checkpoint's directory (or
+    one level up, for <home>/model layouts) so eval runs at the TRUE run
+    shape instead of the TASK_DEFAULTS guess. Returns {} when absent."""
+    d = os.path.dirname(os.path.abspath(ckpt_path))
+    for cand in (d, os.path.dirname(d)):
+        path = os.path.join(cand, "configs.json")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as f:
+                saved = json.load(f)
+            if "dim" in saved:  # torch-ref flag name (main_t7.py:21)
+                saved.setdefault("hidden_size", saved["dim"])
+            return {k: saved[k] for k in CKPT_CONFIG_KEYS if k in saved}
+    return {}
 
 
 def parse_ckpt_args(pairs):
@@ -95,9 +126,25 @@ def build_configs(args, task, predictor, workdir, **overrides):
         log_to_tensorboard=False,
         **base,
     )
-    cfg.video_feature_dim = probe_feature_dim(args.data_root, task, cfg.fv)
     for k, v in overrides.items():
         setattr(cfg, k, v)
+    # --set key=value wins over everything (typed by the field's default);
+    # lets CI run the harness at miniature shapes and real runs pin knobs
+    for pair in args.set or []:
+        k, _, v = pair.partition("=")
+        if not hasattr(cfg, k):
+            raise SystemExit("--set: unknown config key %r" % k)
+        cur = getattr(cfg, k)
+        if isinstance(cur, bool):
+            v = v.lower() in ("1", "true", "yes")
+        elif isinstance(cur, int):
+            v = int(v)
+        elif isinstance(cur, float):
+            v = float(v)
+        setattr(cfg, k, v)
+        overrides[k] = v
+    if "video_feature_dim" not in overrides:
+        cfg.video_feature_dim = probe_feature_dim(args.data_root, task, cfg.fv)
     return cfg
 
 
@@ -117,6 +164,17 @@ def run_stage(args, task, predictor, stage, ckpt=None):
         # torch dialect: CQA output conv carries a bias (main.py:51-52)
         overrides = {"mode": "test", "t7_checkpoint": ckpt, "cqa_bias": True,
                      "optimizer": "adamw"}
+    if ckpt is not None:
+        probed = probe_ckpt_config(ckpt)
+        if probed.get("predictor", predictor) != predictor:
+            # a released checkpoint only evaluates under its own predictor;
+            # the matching row of the task x predictor grid grades it
+            raise ValueError(
+                "checkpoint was trained with predictor=%s"
+                % probed["predictor"]
+            )
+        probed.pop("predictor", None)
+        overrides.update(probed)
     configs = build_configs(args, task, predictor, workdir, **overrides)
     dataset = gen_or_load_dataset(configs)
     configs.char_size = dataset["n_chars"]
@@ -142,7 +200,7 @@ def grade(task, got, tol):
     return ok, rows
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--data_root", required=True)
     ap.add_argument("--tasks", default="charades,activitynet,tacos")
@@ -158,7 +216,9 @@ def main():
     ap.add_argument("--train_tol", type=float, default=1.0)
     ap.add_argument("--workdir", default="parity_work")
     ap.add_argument("--out", default="parity_report")
-    args = ap.parse_args()
+    ap.add_argument("--set", action="append", metavar="key=value",
+                    help="force a Config field for every stage (repeatable)")
+    args = ap.parse_args(argv)
 
     from vslnet_tpu.utils.cache import enable_compilation_cache
 
