@@ -25,13 +25,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """Force completion via a real device-to-host value fetch:
+    jax.block_until_ready is NOT a sync barrier on the tunneled axon
+    backend (~2x inflated rates, see bench.py / CLAUDE.md)."""
+    leaf = jax.tree.leaves(out)[0]
+    np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
+
+
 def median_ms(fn, *args, n=30):
-    fn(*args)  # compile
-    jax.block_until_ready(fn(*args))
+    _sync(fn(*args))  # compile + settle
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append((time.perf_counter() - t0) * 1e3)
     return float(np.median(times))
 
@@ -120,11 +127,11 @@ def main():
     N_INNER = 50
 
     def amortized_ms(fn, *fargs, n=10):
-        jax.block_until_ready(fn(*fargs))
+        _sync(fn(*fargs))
         times = []
         for _ in range(n):
             t0 = time.perf_counter()
-            jax.block_until_ready(fn(*fargs))
+            _sync(fn(*fargs))
             times.append((time.perf_counter() - t0) * 1e3)
         return float(np.median(times)) / N_INNER
 
