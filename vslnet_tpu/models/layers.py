@@ -73,8 +73,16 @@ class Conv1D(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, return_params=False):
         kernel = self.param("kernel", glorot(), (x.shape[-1], self.dim), jnp.float32)
+        if return_params:
+            # fused-kernel path: params declared under the usual names
+            # (checkpoint compatibility), math done by the caller's kernel
+            bias = (
+                self.param("bias", zeros_init, (self.dim,), jnp.float32)
+                if self.use_bias else None
+            )
+            return kernel, bias
         y = jnp.dot(x.astype(self.dtype), kernel.astype(self.dtype),
                     preferred_element_type=self.dtype,
                     precision=dot_precision(self.dtype))
@@ -290,12 +298,24 @@ class MultiHeadAttention(nn.Module):
     #   [B, h, T, T] score/prob/dropout tensors through HBM
 
     @nn.compact
-    def __call__(self, x, mask=None, *, deterministic, drop_rate):
+    def __call__(self, x, mask=None, *, deterministic, drop_rate,
+                 return_params=False):
         if self.dim % self.num_heads != 0:
             raise ValueError(
                 "The hidden size (%d) is not a multiple of the attention heads"
                 " (%d)" % (self.dim, self.num_heads)
             )
+        if return_params:
+            # fused whole-block path: declare the QKV conv params under
+            # their usual module paths and hand them to the caller's kernel
+            wq, bq = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                            name="query")(x, return_params=True)
+            wk, bk = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                            name="key")(x, return_params=True)
+            wv, bv = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                            name="value")(x, return_params=True)
+            return (jnp.concatenate([wq, wk, wv], axis=1),
+                    jnp.concatenate([bq, bk, bv], axis=0))
         B, T, _ = x.shape
         head_size = self.dim // self.num_heads
 
@@ -357,6 +377,40 @@ class MultiHeadAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate):
+        from vslnet_tpu.ops.pallas_kernels import (
+            fused_mha_block,
+            mha_block_pallas_fits,
+        )
+
+        B, T, _ = x.shape
+        if (self.mha_pallas and self.use_bias and mask is not None
+                and mha_block_pallas_fits(T, self.dim, self.num_heads)):
+            # whole block in ONE kernel (LN1 -> dropout -> QKV -> attention
+            # -> dropout -> residual -> LN2 -> dropout -> dense -> dropout
+            # -> residual); params declared under their usual module paths
+            g1, b1 = LayerNorm(dtype=self.dtype, name="layer_norm_1")(
+                x, return_params=True)
+            wqkv, bqkv = MultiHeadAttention(
+                dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
+                name="multihead_attention",
+            )(x, deterministic=deterministic, drop_rate=drop_rate,
+              return_params=True)
+            g2, b2 = LayerNorm(dtype=self.dtype, name="layer_norm_2")(
+                x, return_params=True)
+            wd, bd = Conv1D(self.dim, use_bias=True, dtype=self.dtype,
+                            name="dense")(x, return_params=True)
+            rate = 0.0 if deterministic else float(drop_rate)
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                seeds = jax.random.randint(
+                    rng, (B, 1), 0, 1 << 23).astype(jnp.float32)
+            else:
+                seeds = jnp.zeros((B, 1), jnp.float32)
+            return fused_mha_block(
+                x, mask.astype(jnp.float32), seeds,
+                jnp.stack([g1, g2]), jnp.stack([b1, b2]),
+                wqkv, bqkv, wd, bd, self.num_heads, rate,
+            )
         drop = lambda t: nn.Dropout(rate=drop_rate, deterministic=deterministic)(t)
         y = LayerNorm(dtype=self.dtype, name="layer_norm_1")(x)
         y = drop(y)

@@ -1378,3 +1378,359 @@ def _mha_flash_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds, out, lse, g):
     B, T, D = q.shape
     return _mha_flash_bwd_part(n_heads, float(drop_rate))(
         q, k, v, mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), out, lse, g)
+
+
+# --- fused whole MHA block ---------------------------------------------------
+#
+# The QANet attention block around fused_mha is ~13 separate XLA ops per
+# encoder pass (2 LayerNorms, 4 dropouts, QKV + dense projections, 2
+# residuals); at reference shape ([16, 128, 128]) each is latency-bound, and
+# the transformer predictor pays the chain 3x per step. This kernel runs the
+# ENTIRE block (models/layers.py MultiHeadAttentionBlock, reference
+# model/layers.py:159-175) for one batch row in VMEM: the three QKV
+# projections collapse into one [T,D]x[D,3D] MXU matmul, and nothing touches
+# HBM between LN1 and the final residual. The backward kernel recomputes the
+# forward (only the block input is saved) and accumulates the weight grads
+# across the sequential batch grid, like the conv-block kernel. Dropout uses
+# the counter-hash scheme (block sites salted 0x200..0x203; the in-attention
+# softmax dropout keeps fused_mha's per-head salts).
+
+
+def mha_block_pallas_fits(T, D, n_heads, budget_bytes=10 * 1024 * 1024):
+    """Backward working set per row: ~16 [T, D] fp32 stages, the [T, 3D]
+    qkv/dqkv pair, a few live [T, T] per-head score temporaries, and the
+    [D, 3D] + [D, D] weights."""
+    if D % n_heads or (D // n_heads) % 8:
+        return False
+    return (16 * T * D + 4 * T * 3 * D + 6 * T * T + 8 * D * D) * 4 \
+        <= budget_bytes
+
+
+def _drop32(a, seed, salt, rate):
+    """Counter-hash inverted dropout on an fp32 array (same mask in fwd and
+    the recompute-based bwd because (seed, salt, shape) are identical)."""
+    if rate <= 0.0:
+        return a
+    bits = _hash_bits(seed, salt, a.shape)
+    thresh = jnp.uint32(min(int(rate * 4294967296.0), 4294967295))
+    return jnp.where(bits >= thresh, a * (1.0 / (1.0 - rate)), 0.0)
+
+
+def _mha_block_fwd_math(n_heads, drop_rate, dtype, x, gam_ref, beta_ref,
+                        wqkv, bqkv, wd, bd, mask_row, seed):
+    """Forward math for one [T, D] row; returns (out32, saved) where saved
+    holds the recompute-free residuals the backward needs."""
+    T, D = x.shape
+    hd = D // n_heads
+    scale = dtype(1.0 / (hd ** 0.5))
+    f32 = jnp.float32
+    x32 = x.astype(f32)
+    n1, xh1, inv1 = _ln_fwd(x32, gam_ref[0, 0].astype(f32),
+                            beta_ref[0, 0].astype(f32))
+    y = _drop32(n1, seed, 0x200, drop_rate)
+    y_t = y.astype(dtype)
+    qkv = jnp.dot(y_t, wqkv.astype(dtype),
+                  preferred_element_type=f32,
+                  precision=_prec(dtype)) + bqkv[None, :]
+    q = qkv[:, :D].astype(dtype)
+    k = qkv[:, D:2 * D].astype(dtype)
+    v = qkv[:, 2 * D:].astype(dtype)
+    neg = (1.0 - mask_row.astype(f32)) * -1e30
+    heads = []
+    for h in range(n_heads):
+        _, pd, _ = _mha_head_probs(q, k, neg, seed, h, hd, scale,
+                                   drop_rate, T)
+        vh = v[:, h * hd:(h + 1) * hd]
+        heads.append(jnp.dot(pd.astype(dtype), vh,
+                             preferred_element_type=f32,
+                             precision=_prec(dtype)))
+    att = jnp.concatenate(heads, axis=1)
+    res = _drop32(att, seed, 0x201, drop_rate) + x32
+    n2, xh2, inv2 = _ln_fwd(res, gam_ref[1, 0].astype(f32),
+                            beta_ref[1, 0].astype(f32))
+    z = _drop32(n2, seed, 0x202, drop_rate)
+    z_t = z.astype(dtype)
+    dpre = jnp.dot(z_t, wd.astype(dtype),
+                   preferred_element_type=f32,
+                   precision=_prec(dtype)) + bd[None, :]
+    out32 = _drop32(dpre, seed, 0x203, drop_rate) + res
+    saved = (x32, xh1, inv1, y_t, q, k, v, neg, res, xh2, inv2, z_t)
+    return out32, saved
+
+
+def _make_mha_block_fwd_kernel(n_heads, drop_rate, dtype):
+    def kernel(x_ref, gam_ref, beta_ref, wqkv_ref, bqkv_ref, wd_ref, bd_ref,
+               mask_ref, seed_ref, out_ref):
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+        out32, _ = _mha_block_fwd_math(
+            n_heads, drop_rate, dtype, x_ref[0], gam_ref, beta_ref,
+            wqkv_ref[0], bqkv_ref[0, 0].astype(jnp.float32),
+            wd_ref[0], bd_ref[0, 0].astype(jnp.float32),
+            mask_ref[0, 0], seed,
+        )
+        out_ref[0] = out32.astype(dtype)
+
+    return kernel
+
+
+def _ln_bwd(g_n, gam, xh, inv):
+    """Gradient through y = xh * gam + beta where xh = (x - mean) * inv."""
+    dgam = jnp.sum(g_n * xh, axis=0, keepdims=True)
+    dbeta = jnp.sum(g_n, axis=0, keepdims=True)
+    dxh = g_n * gam[None, :]
+    mean1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    mean2 = jnp.mean(dxh * xh, axis=-1, keepdims=True)
+    return inv * (dxh - mean1 - xh * mean2), dgam, dbeta
+
+
+def _make_mha_block_bwd_kernel(n_heads, drop_rate, dtype):
+    def kernel(x_ref, gam_ref, beta_ref, wqkv_ref, bqkv_ref, wd_ref, bd_ref,
+               mask_ref, seed_ref, g_ref, dx_ref, dgam_ref, dbeta_ref,
+               dwqkv_ref, dbqkv_ref, dwd_ref, dbd_ref):
+        T, D = x_ref.shape[1], x_ref.shape[2]
+        hd = D // n_heads
+        scale = dtype(1.0 / (hd ** 0.5))
+        f32 = jnp.float32
+        seed = seed_ref[0, 0, 0].astype(jnp.int32)
+        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
+
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dgam_ref[...] = jnp.zeros_like(dgam_ref)
+            dbeta_ref[...] = jnp.zeros_like(dbeta_ref)
+            dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+            dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+            dwd_ref[...] = jnp.zeros_like(dwd_ref)
+            dbd_ref[...] = jnp.zeros_like(dbd_ref)
+
+        def dropg(g, salt):
+            if drop_rate <= 0.0:
+                return g
+            bits = _hash_bits(seed, salt, g.shape)
+            return jnp.where(bits >= thresh,
+                             g * (1.0 / (1.0 - drop_rate)), 0.0)
+
+        _, saved = _mha_block_fwd_math(
+            n_heads, drop_rate, dtype, x_ref[0], gam_ref, beta_ref,
+            wqkv_ref[0], bqkv_ref[0, 0].astype(f32),
+            wd_ref[0], bd_ref[0, 0].astype(f32), mask_ref[0, 0], seed,
+        )
+        x32, xh1, inv1, y_t, q, k, v, neg, res, xh2, inv2, z_t = saved
+        gam1 = gam_ref[0, 0].astype(f32)
+        gam2 = gam_ref[1, 0].astype(f32)
+
+        g = g_ref[0].astype(f32)
+        # out = drop(dpre) + res
+        g_dpre = dropg(g, 0x203)
+        dbd_ref[0] += jnp.sum(g_dpre, axis=0, keepdims=True)
+        g_dpre_t = g_dpre.astype(dtype)
+        dwd_ref[0] += jnp.dot(z_t.T, g_dpre_t,
+                              preferred_element_type=f32,
+                              precision=_prec(dtype))
+        g_z = jnp.dot(g_dpre_t, wd_ref[0].T.astype(dtype),
+                      preferred_element_type=f32, precision=_prec(dtype))
+        # z = drop(LN2(res))
+        g_n2 = dropg(g_z, 0x202)
+        g_res_ln, dgam2, dbeta2 = _ln_bwd(g_n2, gam2, xh2, inv2)
+        dgam_ref[1] += dgam2
+        dbeta_ref[1] += dbeta2
+        g_res = g + g_res_ln
+        # res = drop(att) + x32
+        g_att = dropg(g_res, 0x201)
+        # attention backward (exact recompute, per head)
+        dqs, dks, dvs = [], [], []
+        for h in range(n_heads):
+            p, pd, bits = _mha_head_probs(q, k, neg, seed, h, hd, scale,
+                                          drop_rate, T)
+            qh = q[:, h * hd:(h + 1) * hd]
+            kh = k[:, h * hd:(h + 1) * hd]
+            vh = v[:, h * hd:(h + 1) * hd]
+            gh = g_att[:, h * hd:(h + 1) * hd].astype(dtype)
+            dvs.append(jnp.dot(pd.astype(dtype).T, gh,
+                               preferred_element_type=f32,
+                               precision=_prec(dtype)))
+            dpd = jnp.dot(gh, vh.T, preferred_element_type=f32,
+                          precision=_prec(dtype))
+            if drop_rate > 0.0:
+                dp = jnp.where(bits >= thresh,
+                               dpd * (1.0 / (1.0 - drop_rate)), 0.0)
+            else:
+                dp = dpd
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds_t = ds.astype(dtype)
+            dqs.append(jnp.dot(ds_t, kh, preferred_element_type=f32,
+                               precision=_prec(dtype)) * scale)
+            dks.append(jnp.dot(ds_t.T, qh * scale,
+                               preferred_element_type=f32,
+                               precision=_prec(dtype)))
+        dqkv = jnp.concatenate(
+            [jnp.concatenate(dqs, axis=1), jnp.concatenate(dks, axis=1),
+             jnp.concatenate(dvs, axis=1)], axis=1)  # [T, 3D] f32
+        dbqkv_ref[0] += jnp.sum(dqkv, axis=0, keepdims=True)
+        dqkv_t = dqkv.astype(dtype)
+        dwqkv_ref[0] += jnp.dot(y_t.T, dqkv_t,
+                                preferred_element_type=f32,
+                                precision=_prec(dtype))
+        g_y = jnp.dot(dqkv_t, wqkv_ref[0].T.astype(dtype),
+                      preferred_element_type=f32, precision=_prec(dtype))
+        # y = drop(LN1(x))
+        g_n1 = dropg(g_y, 0x200)
+        g_x_ln, dgam1, dbeta1 = _ln_bwd(g_n1, gam1, xh1, inv1)
+        dgam_ref[0] += dgam1
+        dbeta_ref[0] += dbeta1
+        dx_ref[0] = (g_res + g_x_ln).astype(dtype)
+
+    return kernel
+
+
+def _mha_block_specs(B, T, D):
+    def row3(i):
+        return (i, 0, 0)
+
+    def whole(i):
+        return (0, 0, 0)
+
+    x_spec = pl.BlockSpec((1, T, D), row3, memory_space=pltpu.VMEM)
+    gb_spec = pl.BlockSpec((2, 1, D), whole, memory_space=pltpu.VMEM)
+    wqkv_spec = pl.BlockSpec((1, D, 3 * D), whole, memory_space=pltpu.VMEM)
+    bqkv_spec = pl.BlockSpec((1, 1, 3 * D), whole, memory_space=pltpu.VMEM)
+    wd_spec = pl.BlockSpec((1, D, D), whole, memory_space=pltpu.VMEM)
+    bd_spec = pl.BlockSpec((1, 1, D), whole, memory_space=pltpu.VMEM)
+    mask_spec = pl.BlockSpec((1, 1, T), row3, memory_space=pltpu.VMEM)
+    seed_spec = pl.BlockSpec((1, 1, 1), row3, memory_space=pltpu.SMEM)
+    return (x_spec, gb_spec, wqkv_spec, bqkv_spec, wd_spec, bd_spec,
+            mask_spec, seed_spec)
+
+
+@functools.lru_cache(maxsize=None)
+def _mha_block_fwd_part(n_heads, drop_rate):
+    def raw(x, gam3, beta3, wqkv3, bqkv3, wd3, bd3, mask3, seeds3):
+        B, T, D = x.shape
+        (x_spec, gb_spec, wqkv_spec, bqkv_spec, wd_spec, bd_spec,
+         mask_spec, seed_spec) = _mha_block_specs(B, T, D)
+        return pl.pallas_call(
+            _make_mha_block_fwd_kernel(n_heads, drop_rate, x.dtype.type),
+            grid=(B,),
+            in_specs=[x_spec, gb_spec, gb_spec, wqkv_spec, bqkv_spec,
+                      wd_spec, bd_spec, mask_spec, seed_spec],
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct((B, T, D), x.dtype),
+            interpret=_interpret(),
+        )(x, gam3, beta3, wqkv3, bqkv3, wd3, bd3, mask3, seeds3)
+
+    return _partition_batched_call(
+        raw, in_ranks=(3,) * 9,
+        in_batched=(True, False, False, False, False, False, False, True,
+                    True),
+        out_ranks=(3,), out_batched=(True,),
+        rule=("b t1 d1, l1 o1 d2, l2 o2 d3, w1 d4 e1, w2 o3 e2, w3 d5 d6,"
+              " w4 o4 d7, b m1 m2, b s1 s2 -> b t2 d8"),
+        batch_dim=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _mha_block_bwd_part(n_heads, drop_rate):
+    def raw(x, gam3, beta3, wqkv3, bqkv3, wd3, bd3, mask3, seeds3, g):
+        B, T, D = x.shape
+        (x_spec, gb_spec, wqkv_spec, bqkv_spec, wd_spec, bd_spec,
+         mask_spec, seed_spec) = _mha_block_specs(B, T, D)
+
+        def whole(i):
+            return (0, 0, 0)
+
+        f32 = jnp.float32
+        return pl.pallas_call(
+            _make_mha_block_bwd_kernel(n_heads, drop_rate, x.dtype.type),
+            grid=(B,),
+            in_specs=[x_spec, gb_spec, gb_spec, wqkv_spec, bqkv_spec,
+                      wd_spec, bd_spec, mask_spec, seed_spec, x_spec],
+            out_specs=(
+                x_spec,
+                pl.BlockSpec((2, 1, D), whole, memory_space=pltpu.VMEM),
+                pl.BlockSpec((2, 1, D), whole, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, 3 * D), whole, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 3 * D), whole, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, D, D), whole, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, D), whole, memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, T, D), x.dtype),
+                jax.ShapeDtypeStruct((2, 1, D), f32),
+                jax.ShapeDtypeStruct((2, 1, D), f32),
+                jax.ShapeDtypeStruct((1, D, 3 * D), f32),
+                jax.ShapeDtypeStruct((1, 1, 3 * D), f32),
+                jax.ShapeDtypeStruct((1, D, D), f32),
+                jax.ShapeDtypeStruct((1, 1, D), f32),
+            ),
+            interpret=_interpret(),
+        )(x, gam3, beta3, wqkv3, bqkv3, wd3, bd3, mask3, seeds3, g)
+
+    return _partition_batched_call(
+        raw, in_ranks=(3,) * 10,
+        in_batched=(True, False, False, False, False, False, False, True,
+                    True, True),
+        out_ranks=(3,) * 7,
+        out_batched=(True, False, False, False, False, False, False),
+        rule=("b t1 d1, l1 o1 d2, l2 o2 d3, w1 d4 e1, w2 o3 e2, w3 d5 d6,"
+              " w4 o4 d7, b m1 m2, b s1 s2, b g1 g2 -> b t2 d8, l3 o5 d9,"
+              " l4 o6 da, w5 db e3, w6 o7 e4, w7 dc dd, w8 o8 de"),
+        reduce_out=(1, 2, 3, 4, 5, 6),
+        batch_dim=0)
+
+
+def _mha_block_fwd_raw(n_heads, drop_rate, x, mask, seeds, gam, beta, wqkv,
+                       bqkv, wd, bd):
+    B, T, D = x.shape
+    return _mha_block_fwd_part(n_heads, float(drop_rate))(
+        x, gam.reshape(2, 1, D), beta.reshape(2, 1, D),
+        wqkv.reshape(1, D, 3 * D), bqkv.reshape(1, 1, 3 * D),
+        wd.reshape(1, D, D), bd.reshape(1, 1, D),
+        mask.reshape(B, 1, T), seeds.reshape(B, 1, 1))
+
+
+def _mha_block_bwd_raw(n_heads, drop_rate, x, mask, seeds, gam, beta, wqkv,
+                       bqkv, wd, bd, g):
+    B, T, D = x.shape
+    return _mha_block_bwd_part(n_heads, float(drop_rate))(
+        x, gam.reshape(2, 1, D), beta.reshape(2, 1, D),
+        wqkv.reshape(1, D, 3 * D), bqkv.reshape(1, 1, 3 * D),
+        wd.reshape(1, D, D), bd.reshape(1, 1, D),
+        mask.reshape(B, 1, T), seeds.reshape(B, 1, 1), g)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+def fused_mha_block(x, mask, seeds, gam, beta, wqkv, bqkv, wd, bd, n_heads,
+                    drop_rate):
+    """Whole pre-LN attention block in one kernel. x [B, T, D]; mask [B, T];
+    seeds [B, 1] float32-held per-example dropout seeds; gam/beta [2, D]
+    (LN1, LN2); wqkv [D, 3D] (query|key|value kernels concatenated);
+    bqkv [3D]; wd [D, D]; bd [D]. Same math as
+    models/layers.py MultiHeadAttentionBlock (reference
+    model/layers.py:159-175) except the dropout bit streams."""
+    return _mha_block_fwd_raw(n_heads, drop_rate, x, mask, seeds, gam, beta,
+                              wqkv, bqkv, wd, bd)
+
+
+def _fused_mha_block_fwd(x, mask, seeds, gam, beta, wqkv, bqkv, wd, bd,
+                         n_heads, drop_rate):
+    out = _mha_block_fwd_raw(n_heads, drop_rate, x, mask, seeds, gam, beta,
+                             wqkv, bqkv, wd, bd)
+    return out, (x, mask, seeds, gam, beta, wqkv, bqkv, wd, bd)
+
+
+def _fused_mha_block_bwd(n_heads, drop_rate, res, g):
+    x, mask, seeds, gam, beta, wqkv, bqkv, wd, bd = res
+    dx, dgam, dbeta, dwqkv, dbqkv, dwd, dbd = _mha_block_bwd_raw(
+        n_heads, drop_rate, x, mask, seeds, gam, beta, wqkv, bqkv, wd, bd,
+        g.astype(x.dtype))
+    D = x.shape[2]
+    return (dx, jnp.zeros_like(mask), jnp.zeros_like(seeds),
+            dgam.reshape(2, D).astype(gam.dtype),
+            dbeta.reshape(2, D).astype(beta.dtype),
+            dwqkv.reshape(D, 3 * D).astype(wqkv.dtype),
+            dbqkv.reshape(3 * D).astype(bqkv.dtype),
+            dwd.reshape(D, D).astype(wd.dtype),
+            dbd.reshape(D).astype(bd.dtype))
+
+
+fused_mha_block.defvjp(_fused_mha_block_fwd, _fused_mha_block_bwd)
