@@ -33,14 +33,26 @@ def _sync(out):
     np.asarray(leaf.ravel()[0] if hasattr(leaf, "ravel") else leaf)
 
 
-def median_ms(fn, *args, n=30):
-    _sync(fn(*args))  # compile + settle
+N_INNER = 50  # inner chain depth: amortizes the ~30 ms tunnel dispatch+fetch
+#               so sub-ms kernels are measured by their own time, not RTT
+
+
+def chained_ms(make_step, x0, n=10):
+    """Median per-invocation ms of `make_step`-produced fn, amortized over an
+    N_INNER-deep fori_loop chain with a data dependency between iterations
+    (a single dispatch is pure tunnel RTT, ~29 ms, regardless of kernel)."""
+
+    @jax.jit
+    def many(x):
+        return jax.lax.fori_loop(0, N_INNER, lambda i, c: make_step(c), x)
+
+    _sync(many(x0))
     times = []
     for _ in range(n):
         t0 = time.perf_counter()
-        _sync(fn(*args))
+        _sync(many(x0))
         times.append((time.perf_counter() - t0) * 1e3)
-    return float(np.median(times))
+    return float(np.median(times)) / N_INNER
 
 
 def xla_cqa_concat(video, query, v_mask, q_mask, w4v, w4q, w4mul):
@@ -74,12 +86,19 @@ def main():
     )
     from vslnet_tpu.models.losses import decode_span
 
+    from vslnet_tpu.ops.pallas_kernels import cqa_pallas_fits
+
     B, W = args.batch, 16
     rows = []
-    print("# fused CQA concat vs XLA (B=%d, W=%d)" % (B, W))
+    print("# fused CQA concat vs XLA (B=%d, W=%d, amortized x%d)"
+          % (B, W, N_INNER))
     print("T\td\txla_ms\tpallas_ms\tspeedup")
-    for T in (128, 512, 2048, 4096):
-        for d in (128, 512, 1024):
+    for T in (128, 256, 384):
+        for d in (128,):
+            if not cqa_pallas_fits(B, T, W, d):
+                print("%d\t%d\t(gridless CQA fusion does not fit VMEM)"
+                      % (T, d), flush=True)
+                continue
             rng = np.random.default_rng(0)
             v = jnp.asarray(rng.standard_normal((B, T, d)), jnp.float32)
             q = jnp.asarray(rng.standard_normal((B, W, d)), jnp.float32)
@@ -88,33 +107,45 @@ def main():
             w4v = jnp.asarray(rng.standard_normal((d, 1)), jnp.float32)
             w4q = jnp.asarray(rng.standard_normal((d, 1)), jnp.float32)
             wmul = jnp.asarray(rng.standard_normal((d,)), jnp.float32)
-            xla = median_ms(jax.jit(xla_cqa_concat), v, q, vm, qm, w4v, w4q,
-                            wmul)
+
+            def chain(fn):
+                # feed a slice of the [B,T,4d] output back into v for the
+                # data dependency
+                return lambda vv: vv + 1e-30 * fn(
+                    vv, q, vm, qm, w4v, w4q, wmul)[:, :, :d]
+
+            xla = chained_ms(chain(xla_cqa_concat), v)
             try:
-                pls = median_ms(fused_cqa_concat, v, q, vm, qm, w4v, w4q,
-                                wmul)
+                pls = chained_ms(chain(fused_cqa_concat), v)
             except Exception as e:
                 pls = float("nan")
-                print("  pallas failed at T=%d d=%d: %s" % (T, d, e),
-                      file=sys.stderr)
+                print("  pallas failed at T=%d d=%d: %s"
+                      % (T, d, str(e)[:120]), file=sys.stderr)
             rows.append(("cqa", T, d, xla, pls))
             print("%d\t%d\t%.3f\t%.3f\t%.2fx"
                   % (T, d, xla, pls, xla / pls if pls == pls else 0.0),
                   flush=True)
 
-    print("\n# fused span decode vs XLA (B=%d)" % B)
+    print("\n# fused span decode vs XLA (B=%d, amortized x%d)"
+          % (B, N_INNER))
     print("T\txla_ms\tpallas_ms\tspeedup")
     xla_decode = jax.jit(lambda s, e: decode_span(s, e)[2:])
     for T in (128, 512, 2048, 4096):
         rng = np.random.default_rng(1)
         s = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)
         e = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)
-        xla = median_ms(xla_decode, s, e)
+
+        def chain(fn):
+            return lambda ss: ss + 1e-30 * fn(ss, e)[0].astype(
+                jnp.float32)[:, None]
+
+        xla = chained_ms(chain(xla_decode), s)
         try:
-            pls = median_ms(fused_span_decode, s, e)
+            pls = chained_ms(chain(fused_span_decode), s)
         except Exception as exc:
             pls = float("nan")
-            print("  pallas failed at T=%d: %s" % (T, exc), file=sys.stderr)
+            print("  pallas failed at T=%d: %s" % (T, str(exc)[:120]),
+                  file=sys.stderr)
         rows.append(("decode", T, None, xla, pls))
         print("%d\t%.3f\t%.3f\t%.2fx"
               % (T, xla, pls, xla / pls if pls == pls else 0.0), flush=True)
@@ -123,8 +154,6 @@ def main():
           " amortized x50)")
     print("dtype\tT\tB\tH\tscan_f\tpal_f\tscan_fb\tpal_fb\tfb_speedup")
     from vslnet_tpu.models.layers import LSTMEncoder
-
-    N_INNER = 50
 
     def amortized_ms(fn, *fargs, n=10):
         _sync(fn(*fargs))

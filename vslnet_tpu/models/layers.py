@@ -476,7 +476,11 @@ class CQAttention(nn.Module):
         w4v = self.param("linear_kernel4arg0", glorot(), (d, 1), jnp.float32)
         w4q = self.param("linear_kernel4arg1", glorot(), (d, 1), jnp.float32)
         w4mul = self.param("linear_kernel4mul", glorot(), (1, 1, d), jnp.float32)
-        if self.use_pallas and deterministic:
+        from vslnet_tpu.ops.pallas_kernels import cqa_pallas_fits
+
+        if (self.use_pallas and deterministic
+                and cqa_pallas_fits(video.shape[0], video.shape[1],
+                                    query.shape[1], d)):
             # fused inference kernel: score + softmaxes + matmuls in VMEM
             from vslnet_tpu.ops.pallas_kernels import fused_cqa_concat
 

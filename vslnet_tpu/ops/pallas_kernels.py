@@ -49,9 +49,17 @@ def _span_decode_kernel(start_ref, end_ref, s_idx_ref, e_idx_ref):
         jnp.int32)[:, None]
 
 
+def span_decode_pallas_fits(B, T, budget_bytes=10 * 1024 * 1024):
+    """Gridless over the whole batch: the [B, T, T] banded outer product
+    (plus the iota band masks) must fit VMEM (measured: scoped-vmem OOM at
+    B=16, T=2048)."""
+    return 4 * B * T * T * 4 <= budget_bytes
+
+
 @jax.jit
 def fused_span_decode(start_logits, end_logits):
-    """[B, T] masked logits -> (start_idx [B], end_idx [B]) in one kernel."""
+    """[B, T] masked logits -> (start_idx [B], end_idx [B]) in one kernel.
+    Callers gate on span_decode_pallas_fits."""
     B, T = start_logits.shape
     s_idx, e_idx = pl.pallas_call(
         _span_decode_kernel,
@@ -111,12 +119,22 @@ def _cqa_kernel(v_ref, q_ref, vmask_ref, qmask_ref, w4v_ref, w4q_ref,
     out_ref[:, :, 3 * d : 4 * d] = v * q2v
 
 
+def cqa_pallas_fits(B, T, W, d, budget_bytes=10 * 1024 * 1024):
+    """The CQA fusion is gridless over the WHOLE batch: v/q/out staging plus
+    the [B, T, W] score tensors and the [B, T, T] S_q @ S_v^T intermediate
+    must all fit VMEM at once (measured: 16 MB scoped-vmem OOM at T=512 or
+    d=512 with B=16)."""
+    return (6 * B * T * d + B * W * d + 3 * B * T * W + B * T * T) * 4 \
+        <= budget_bytes
+
+
 @jax.jit
 def fused_cqa_concat(video, query, v_mask, q_mask, w4v, w4q, w4mul):
     """Fused CQA producing the [B, T, 4d] concat (before the output conv1d).
 
     Inference path (no dropout; the training path applies dropout to the
-    trilinear inputs, model/ops.py:50). Returns fp32.
+    trilinear inputs, model/ops.py:50). Returns fp32. Callers gate on
+    cqa_pallas_fits.
     """
     B, T, d = video.shape
     out = pl.pallas_call(

@@ -219,7 +219,9 @@ def _eval_compute(model, use_pallas, params, frozen, batch, bank, split):
         batch["word_ids"], batch["char_ids"], batch["vfeats"],
         batch["v_len"], drop_rate=0.0, deterministic=True,
     )
-    if use_pallas:
+    from vslnet_tpu.ops.pallas_kernels import span_decode_pallas_fits
+
+    if use_pallas and span_decode_pallas_fits(*out["start_logits"].shape):
         from vslnet_tpu.ops.pallas_kernels import fused_span_decode
 
         start_index, end_index = fused_span_decode(
