@@ -15,8 +15,9 @@ and in TWO regimes:
 - `device`: pre-sharded device batches, one dispatch per step
 - `end_to_end`: through TrainLoader.batch_iter + prefetch_to_device, i.e.
   the per-step host pipeline (train/runner.py)
-- `fused`: the DEFAULT train path (fused_steps=auto) — lax.scan runs K=100
-  optimization steps per dispatch on the device-resident dataset
+- `fused`: the DEFAULT train path (fused_steps=auto) — lax.scan runs K=388
+  optimization steps per dispatch (the real Charades eval-period chunk: 776
+  batches/epoch, eval twice per epoch) on the device-resident dataset
   (make_train_many), incl. the per-chunk loss readback the real loop pays
 
 Prints ONE JSON line. Headline `value` = transformer fused steps/s
@@ -31,9 +32,12 @@ an estimate in `baseline_note`; the BASELINE.json 5x north star
 corresponds to vs_baseline >= 5.
 
 MFU: analytic — XLA's own cost model (compiled.cost_analysis()['flops'])
-divided by wall time and the v5e bf16 peak of 197 TFLOP/s. This model is
-dispatch-bound at 0.7M params (<1% MFU is expected and honest); see
-README's scaling table for configurations that saturate the chip.
+divided by wall time and the v5e bf16 peak of 197 TFLOP/s. cost_analysis
+reports 0 FLOPs for Pallas custom calls, so when fused kernels are active
+the count is taken from a pure-XLA twin of the same step (the kernels are
+bit-compatible twins of the XLA path — same math, same FLOPs). This model
+is dispatch-bound at 0.7M params (low MFU is expected and honest); the
+`saturated` key reports a chip-saturating configuration.
 """
 import json
 import time
@@ -62,6 +66,51 @@ def _time_windows(step_fn, n_windows=3, n_steps=100):
         "min": round(float(min(rates)), 2),
         "max": round(float(max(rates)), 2),
     }
+
+
+def _count_flops(runner, batch):
+    """XLA-counted FLOPs for ONE optimization step (fwd+bwd+AdamW+clip)."""
+    lowered = runner._train_step.lower(
+        runner.params, runner.frozen, runner.opt_state, batch,
+        runner.rng, 0, bank=runner.device_bank, split=runner.train_split_dev,
+    )
+    try:  # pre-compile analysis when the backend supports it
+        flops = float(lowered.cost_analysis()["flops"])
+        if flops > 0:
+            return flops
+    except Exception:
+        pass
+    return float(lowered.compile().cost_analysis()["flops"])
+
+
+def _flops_per_step(runner, batch, configs, dataset, feats):
+    """FLOPs/step for MFU. cost_analysis() reports 0 FLOPs for Pallas
+    custom calls, so when fused kernels can be active (use_pallas != off)
+    the count comes from a pure-XLA twin Runner at the same shape — the
+    kernels are bit-compatible twins of the XLA path, so the twin's count
+    IS the fused path's true FLOP count."""
+    import dataclasses
+
+    from vslnet_tpu.train.runner import Runner
+
+    try:
+        if configs.use_pallas != "off":
+            twin = Runner(
+                dataclasses.replace(configs, use_pallas="off"),
+                dataset, feats, mesh=runner.mesh,
+            )
+            return _count_flops(twin, batch)
+        return _count_flops(runner, batch)
+    except Exception:
+        return float("nan")
+
+
+def _mfu_pct(flops_per_step, steps_per_sec, digits=3):
+    if not np.isfinite(flops_per_step):
+        return None
+    return round(
+        100.0 * flops_per_step * steps_per_sec / V5E_BF16_PEAK_FLOPS, digits
+    )
 
 
 def bench_predictor(predictor, use_pallas="auto"):
@@ -113,16 +162,8 @@ def bench_predictor(predictor, use_pallas="auto"):
     # warmup / compile
     np.asarray(run_device(5))
 
-    # XLA's own FLOP count for one train step (fwd+bwd+AdamW)
-    try:
-        lowered = runner._train_step.lower(
-            state["params"], runner.frozen, state["opt"], batches[0],
-            runner.rng, 0, bank=runner.device_bank,
-            split=runner.train_split_dev,
-        )
-        flops_per_step = float(lowered.compile().cost_analysis()["flops"])
-    except Exception:
-        flops_per_step = float("nan")
+    flops_per_step = _flops_per_step(runner, batches[0], configs, dataset,
+                                     feats)
 
     device = _time_windows(run_device)
 
@@ -192,11 +233,7 @@ def bench_predictor(predictor, use_pallas="auto"):
     }
 
     assert np.isfinite(float(state["m"]["loss"]))
-    mfu_pct = (
-        round(100.0 * flops_per_step * device["median"] / V5E_BF16_PEAK_FLOPS, 3)
-        if np.isfinite(flops_per_step)
-        else None
-    )
+    mfu_pct = _mfu_pct(flops_per_step, device["median"])
     out = {
         "device_steps_per_sec": device,
         "end_to_end_steps_per_sec": e2e,
@@ -210,11 +247,9 @@ def bench_predictor(predictor, use_pallas="auto"):
         out["examples_per_sec"] = round(
             fused["median"] * configs.batch_size, 1
         )
-        if np.isfinite(flops_per_step):
-            out["mfu_pct_fused"] = round(
-                100.0 * flops_per_step * fused["median"]
-                / V5E_BF16_PEAK_FLOPS, 3,
-            )
+        mfu_fused = _mfu_pct(flops_per_step, fused["median"])
+        if mfu_fused is not None:
+            out["mfu_pct_fused"] = mfu_fused
     return out
 
 
@@ -254,24 +289,14 @@ def bench_saturated():
         return m["loss"]
 
     np.asarray(run(K))  # compile
-    try:
-        lowered = runner._train_step.lower(
-            state[0], runner.frozen, state[1],
-            {"idxs": ids[0]}, runner.rng, 0,
-            bank=runner.device_bank, split=runner.train_split_dev,
-        )
-        flops = float(lowered.compile().cost_analysis()["flops"])
-    except Exception:
-        flops = float("nan")
+    flops = _flops_per_step(runner, {"idxs": ids[0]}, configs, dataset, feats)
     rate = _time_windows(run, n_windows=2, n_steps=K)
     out = {"hidden_size": hidden, "batch_size": B,
            "fused_steps_per_sec": rate,
            "examples_per_sec": round(rate["median"] * B, 1)}
     if np.isfinite(flops):
         out["flops_per_step"] = flops
-        out["mfu_pct"] = round(
-            100.0 * flops * rate["median"] / V5E_BF16_PEAK_FLOPS, 2
-        )
+        out["mfu_pct"] = _mfu_pct(flops, rate["median"], digits=2)
     return out
 
 

@@ -82,11 +82,10 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     args = ap.parse_args()
     from vslnet_tpu.ops.pallas_kernels import (
-        fused_cqa_concat, fused_span_decode,
+        cqa_pallas_fits, fused_cqa_concat, fused_span_decode,
+        span_decode_pallas_fits,
     )
     from vslnet_tpu.models.losses import decode_span
-
-    from vslnet_tpu.ops.pallas_kernels import cqa_pallas_fits
 
     B, W = args.batch, 16
     rows = []
@@ -131,6 +130,10 @@ def main():
     print("T\txla_ms\tpallas_ms\tspeedup")
     xla_decode = jax.jit(lambda s, e: decode_span(s, e)[2:])
     for T in (128, 512, 2048, 4096):
+        if not span_decode_pallas_fits(B, T):
+            print("%d\t(gridless span-decode fusion does not fit VMEM)" % T,
+                  flush=True)
+            continue
         rng = np.random.default_rng(1)
         s = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)
         e = jnp.asarray(rng.standard_normal((B, T)), jnp.float32)

@@ -128,14 +128,26 @@ def build_configs(args, task, predictor, workdir, **overrides):
     )
     for k, v in overrides.items():
         setattr(cfg, k, v)
-    # --set key=value wins over everything (typed by the field's default);
-    # lets CI run the harness at miniature shapes and real runs pin knobs
+    # --set key=value wins over everything (typed by the field's current
+    # value, or by the dataclass annotation when it is None — e.g.
+    # Optional[int] eval_period); lets CI run the harness at miniature
+    # shapes and real runs pin knobs
+    from typing import Optional
+
+    field_types = {f.name: f.type for f in dataclasses.fields(cfg)}
     for pair in args.set or []:
         k, _, v = pair.partition("=")
         if not hasattr(cfg, k):
             raise SystemExit("--set: unknown config key %r" % k)
         cur = getattr(cfg, k)
-        if isinstance(cur, bool):
+        if cur is None:
+            ftype = field_types.get(k)
+            if ftype in ("Optional[int]", Optional[int]):
+                v = int(v)
+            elif ftype in ("Optional[float]", Optional[float]):
+                v = float(v)
+            # Optional[str] fields keep the raw string
+        elif isinstance(cur, bool):
             v = v.lower() in ("1", "true", "yes")
         elif isinstance(cur, int):
             v = int(v)

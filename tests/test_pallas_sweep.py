@@ -34,7 +34,7 @@ from vslnet_tpu.ops.pallas_kernels import (
 )
 
 
-def _flash_vs_gridless(B, T, D, H, rate, dtype=jnp.float32):
+def _flash_vs_gridless(B, T, D, H, rate, dtype=jnp.float32, fwd_only=False):
     kx = jax.random.split(jax.random.PRNGKey(T * 31 + D), 4)
     q, k, v, g = (jax.random.normal(kk, (B, T, D), dtype) for kk in kx)
     lens = jnp.asarray([T] + [max(1, T - 1 - (T // 3) * i)
@@ -46,6 +46,8 @@ def _flash_vs_gridless(B, T, D, H, rate, dtype=jnp.float32):
     m3 = np.asarray(mask)[:, :, None]
     fwd_err = float((np.abs(np.asarray(out_f, np.float32)
                             - np.asarray(out_s, np.float32)) * m3).max())
+    if fwd_only:  # interpreter-mode bwd at this shape costs seconds
+        return fwd_err, None
     dq_f, dk_f, dv_f = _mha_flash_bwd_raw(H, rate, q, k, v, mask, seeds,
                                           out_f, lse, g)
     dq_s, dk_s, dv_s = _mha_bwd_raw(H, rate, q, k, v, mask, seeds, g)
@@ -95,7 +97,7 @@ def test_flash_mha_partial_tail_tile_bf16():
     attended (error vs the gridless path stays at bf16 rounding scale, not
     O(1) as when keys 512..639 were dropped)."""
     fwd_err, _ = _flash_vs_gridless(2, 640, 128, 8, rate=0.0,
-                                    dtype=jnp.bfloat16)
+                                    dtype=jnp.bfloat16, fwd_only=True)
     assert fwd_err < 0.05, fwd_err
 
 

@@ -100,6 +100,26 @@ def test_harness_train_stage_end_to_end(tmp_path, mini_root, capsys):
     assert os.path.exists(out + ".md")
 
 
+def test_set_types_optional_config_fields(tmp_path):
+    """--set on a Config field whose current value is None (Optional[int]
+    like eval_period / num_train_steps) must coerce from the dataclass
+    annotation, not leave a string behind (round-3 review finding)."""
+    import argparse
+
+    args = argparse.Namespace(
+        data_root="unused", epochs=1, precision="fp32",
+        set=["eval_period=5", "num_train_steps=40", "suffix=abc",
+             "hidden_size=16", "log_to_tensorboard=false"],
+    )
+    cfg = parity_run.build_configs(args, "charades", "rnn", str(tmp_path),
+                                   video_feature_dim=16)
+    assert cfg.eval_period == 5 and isinstance(cfg.eval_period, int)
+    assert cfg.num_train_steps == 40
+    assert cfg.suffix == "abc"  # Optional[str] stays a string
+    assert cfg.hidden_size == 16
+    assert cfg.log_to_tensorboard is False
+
+
 def test_probe_ckpt_config_reads_adjacent_and_parent(tmp_path):
     d = tmp_path / "home" / "model"
     d.mkdir(parents=True)

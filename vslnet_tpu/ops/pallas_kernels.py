@@ -1510,7 +1510,6 @@ def _make_mha_block_bwd_kernel(n_heads, drop_rate, dtype):
         scale = dtype(1.0 / (hd ** 0.5))
         f32 = jnp.float32
         seed = seed_ref[0, 0, 0].astype(jnp.int32)
-        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
 
         @pl.when(pl.program_id(0) == 0)
         def _init():
@@ -1522,11 +1521,9 @@ def _make_mha_block_bwd_kernel(n_heads, drop_rate, dtype):
             dbd_ref[...] = jnp.zeros_like(dbd_ref)
 
         def dropg(g, salt):
-            if drop_rate <= 0.0:
-                return g
-            bits = _hash_bits(seed, salt, g.shape)
-            return jnp.where(bits >= thresh,
-                             g * (1.0 / (1.0 - drop_rate)), 0.0)
+            # the recompute-based backward must regenerate the forward's
+            # masks bit-for-bit, so this MUST stay _drop32 itself
+            return _drop32(g, seed, salt, drop_rate)
 
         _, saved = _mha_block_fwd_math(
             n_heads, drop_rate, dtype, x_ref[0], gam_ref, beta_ref,
@@ -1555,7 +1552,10 @@ def _make_mha_block_bwd_kernel(n_heads, drop_rate, dtype):
         g_res = g + g_res_ln
         # res = drop(att) + x32
         g_att = dropg(g_res, 0x201)
-        # attention backward (exact recompute, per head)
+        # attention backward (exact recompute, per head); the probs dropout
+        # reuses the bits _mha_head_probs already hashed, so its threshold
+        # (same formula as _drop32) is applied inline
+        thresh = jnp.uint32(min(int(drop_rate * 4294967296.0), 4294967295))
         dqs, dks, dvs = [], [], []
         for h in range(n_heads):
             p, pd, bits = _mha_head_probs(q, k, neg, seed, h, hd, scale,
