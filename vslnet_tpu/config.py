@@ -54,6 +54,15 @@ class Config:
     #   on: additionally the CQA / highlight-gate / span-decode fusions
     #   (these lose to XLA at reference shapes — see README crossover
     #   table); off: none. true/false alias on/off.
+    rng_impl: str = "auto"             # [auto | threefry | rbg] dropout PRNG.
+    #   threefry (the jax default) is VPU-serial and costs ~40% of a
+    #   chip-saturating train step just generating dropout bits; rbg lowers
+    #   to the XLA RngBitGenerator (Philox) which runs at HBM speed. auto:
+    #   rbg on accelerator backends, threefry on CPU (keeps fixed-seed CPU
+    #   goldens / parity tests byte-stable). Initial weights are
+    #   impl-independent (init always derives from the threefry key); only
+    #   the dropout masks differ between impls — stochastic regularization,
+    #   so this changes numerics exactly the way a different seed does.
     dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
     sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
@@ -128,6 +137,20 @@ def pallas_flags(configs):
         accel = jax.default_backend() != "cpu"
         return {"lstm": accel, "mha": accel, "conv": accel, "fusion": False}
     return {"lstm": all_on, "mha": all_on, "conv": all_on, "fusion": all_on}
+
+
+def resolve_rng_impl(configs):
+    """Resolve the rng_impl setting into a jax PRNG impl name.
+
+    auto: rbg on accelerator backends (threefry spends ~40% of a
+    chip-saturating step generating dropout bits; RngBitGenerator runs at
+    HBM speed), threefry on CPU so fixed-seed test goldens stay stable."""
+    s = str(getattr(configs, "rng_impl", "auto")).lower()
+    if s == "auto":
+        import jax
+
+        return "rbg" if jax.default_backend() != "cpu" else "threefry2x32"
+    return {"threefry": "threefry2x32"}.get(s, s)
 
 
 def build_parser():
