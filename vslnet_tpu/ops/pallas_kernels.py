@@ -1145,10 +1145,11 @@ fused_conv_block.defvjp(_fused_conv_block_fwd, _fused_conv_block_bwd)
 
 _FLASH_TQ = 128
 # KV tile: bigger tiles amortize the rolled-loop control/addressing
-# overhead (TK=256 -> 512 measured ~1.2x at T=2048); the static tail call
-# covers any T % TK that is a multiple of TQ, so the fits condition is
-# unchanged
-_FLASH_TK = 512
+# overhead (T=2048 train step: 44.5 ms at TK=256, 27.2 at 512, 22.0 at
+# 1024; TK=2048 would push the bwd per-iteration temporaries against the
+# 16 MB scoped-vmem ceiling). The static tail call covers any T % TK
+# that is a multiple of TQ, so the fits condition is unchanged.
+_FLASH_TK = 1024
 
 
 def mha_flash_fits(T, D, n_heads, budget_bytes=12 * 1024 * 1024):
