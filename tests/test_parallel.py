@@ -127,6 +127,83 @@ def test_sequence_parallel_train_matches_dp(tmp_path):
     )
 
 
+def test_tensor_parallel_mesh_and_param_sharding():
+    from vslnet_tpu.parallel.mesh import shard_params
+
+    mesh = make_mesh(dp_size=2, sp_size=2, tp_size=2)
+    assert mesh.axis_names == ("data", "seq", "model")
+    assert mesh.devices.shape == (2, 2, 2)
+    tree = {
+        "kernel": np.ones((16, 16), np.float32),     # column-sharded
+        "bias": np.ones((16,), np.float32),          # 1-D: replicated
+        "tiny": np.ones((16, 2), np.float32),        # shard < 8 lanes: rep
+        "odd": np.ones((16, 15), np.float32),        # not divisible: rep
+    }
+    placed = shard_params(tree, mesh)
+    assert placed["kernel"].sharding.spec == P(None, "model")
+    assert placed["bias"].sharding.spec == P()
+    assert placed["tiny"].sharding.spec == P()
+    assert placed["odd"].sharding.spec == P()
+    # no 'model' axis -> plain replication
+    rep = shard_params(tree, make_mesh(8))
+    assert rep["kernel"].sharding.spec == P()
+
+
+def test_tensor_parallel_train_matches_dp(tmp_path):
+    """dp=4 x tp=2 vs dp=1: same seed, fused steps -> same losses (column
+    sharding computes complete output columns, so only GSPMD's reduction
+    ordering can differ -> tight tolerances in fp32), and the tp Runner
+    must actually shard its large kernels."""
+    from vslnet_tpu.config import Config
+    from vslnet_tpu.data.synthetic import synthetic_dataset
+    from vslnet_tpu.train.runner import Runner
+
+    def cfg(workdir, **kw):
+        c = Config(
+            batch_size=8, max_pos_len=16, video_feature_dim=12,
+            hidden_size=16, char_dim=4, word_dim=8, num_heads=4, epochs=1,
+            predictor="transformer", model_dir=str(workdir / "ckpt"),
+            save_dir=str(workdir / "d"), log_to_tensorboard=False,
+        )
+        for k, v in kw.items():
+            setattr(c, k, v)
+        return c
+
+    dataset, feats = synthetic_dataset(
+        n_train=16, n_test=8, n_videos=4, n_words=40, n_chars=12,
+        max_pos_len=16, video_feature_dim=12, word_dim=8, min_video_len=4,
+        seed=0,
+    )
+    r1 = Runner(cfg(tmp_path / "a"), dataset, feats, mesh=make_mesh(1))
+    # tp via an EXPLICIT mesh (tp_size left None): the Runner must sync
+    # configs.tp_size from the mesh so the pallas auto-off-under-tp gate
+    # and saved configs.json see it
+    r2 = Runner(cfg(tmp_path / "b"), dataset, feats,
+                mesh=make_mesh(4, None, 2))
+    assert r2.mesh.axis_names == ("data", "model")
+    assert r2.configs.tp_size == 2
+    specs = {
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(r2.params)
+    }
+    assert P(None, "model") in specs  # large kernels really are sharded
+    # eval decode on the (identical) initial weights must agree exactly —
+    # checked BEFORE train_many, which donates the param buffers
+    _, batch = next(iter(r1.test_loader.test_iter("test")))
+    s1, e1 = r1.eval_step(r1.params, r1.frozen, shard_batch(batch, r1.mesh))
+    s2, e2 = r2.eval_step(r2.params, r2.frozen, shard_batch(batch, r2.mesh))
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+
+    ids = r1.train_loader.epoch_idxs()[:3]
+    _, _, m1 = r1.train_many(r1.params, r1.frozen, r1.opt_state,
+                             jax.device_put(ids), r1.rng, 0)
+    _, _, m2 = r2.train_many(r2.params, r2.frozen, r2.opt_state,
+                             jax.device_put(ids), r2.rng, 0)
+    np.testing.assert_allclose(np.asarray(m1["loss"]),
+                               np.asarray(m2["loss"]), rtol=2e-5)
+
+
 def test_sequence_parallel_eval_decodes_identically(tmp_path):
     from vslnet_tpu.config import Config
     from vslnet_tpu.data.synthetic import synthetic_dataset

@@ -65,6 +65,9 @@ class Config:
     #   so this changes numerics exactly the way a different seed does.
     dp_size: Optional[int] = None      # data-parallel mesh size (None: all devices)
     sp_size: Optional[int] = None      # sequence-parallel size (video time axis)
+    tp_size: Optional[int] = None      # tensor-parallel size: column-shards
+    #   large kernels' output dims over a 'model' mesh axis (weight memory
+    #   and matmul FLOPs split tp-ways; useful from hidden ~1024 up)
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
     fused_steps: str = "auto"          # [auto|off] lax.scan K train steps per
                                        # dispatch (device-resident data only)
@@ -131,10 +134,14 @@ def pallas_flags(configs):
     all_on = s in ("on", "true", "1", "yes")
     if s == "auto":
         # the wins are TPU results; off-TPU the kernels only run in
-        # interpreter mode (correct but slow), so auto leaves them off
+        # interpreter mode (correct but slow), so auto leaves them off.
+        # Under tensor parallelism they also stay off: the kernels'
+        # custom_partitioning batch-partitions with REPLICATED weights, so
+        # keeping them on would all-gather the very weights tp shards.
         import jax
 
-        accel = jax.default_backend() != "cpu"
+        tp = (getattr(configs, "tp_size", None) or 1) > 1
+        accel = jax.default_backend() != "cpu" and not tp
         return {"lstm": accel, "mha": accel, "conv": accel, "fusion": False}
     return {"lstm": all_on, "mha": all_on, "conv": all_on, "fusion": all_on}
 

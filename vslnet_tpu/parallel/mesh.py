@@ -14,6 +14,12 @@ here parallelism is first-class:
   GSPMD partitions the T-axis convolutions (halo exchange) and the
   [B, h, T, T] attention (all-gather of K/V over ICI) automatically —
   the model code is untouched.
+- **Tensor parallelism**: an optional `'model'` mesh axis column-shards
+  every large kernel's OUTPUT dimension (shard_params) — each device
+  computes its own output columns from gathered inputs, GSPMD inserting
+  the all-gathers/psums. Weight memory and matmul FLOPs split tp-ways;
+  for this model family it matters from hidden ~1024 up (README
+  model-size table). Composable with dp and sp: ('data','seq','model').
 """
 import jax
 import numpy as np
@@ -23,24 +29,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 _TIME_AXIS_KEYS = ("vfeats", "s_labels", "e_labels", "h_labels")
 
 
-def make_mesh(dp_size=None, sp_size=None, devices=None):
-    """1-D ('data',) mesh, or 2-D ('data', 'seq') when sp_size > 1."""
+def make_mesh(dp_size=None, sp_size=None, tp_size=None, devices=None):
+    """('data',) mesh, extended with a 'seq' axis when sp_size > 1 and a
+    'model' axis when tp_size > 1 (any combination, in that axis order)."""
     devices = devices if devices is not None else jax.devices()
     sp_size = sp_size or 1
+    tp_size = tp_size or 1
     if dp_size is None:
-        dp_size = len(devices) // sp_size
-    need = dp_size * sp_size
+        dp_size = len(devices) // (sp_size * tp_size)
+    need = dp_size * sp_size * tp_size
     if need > len(devices):
         raise ValueError(
-            "dp_size %d x sp_size %d exceeds available devices %d"
-            % (dp_size, sp_size, len(devices))
+            "dp_size %d x sp_size %d x tp_size %d exceeds available"
+            " devices %d" % (dp_size, sp_size, tp_size, len(devices))
         )
-    if sp_size == 1:
-        return Mesh(np.asarray(devices[:dp_size]).reshape(dp_size),
-                    axis_names=("data",))
+    shape = [dp_size]
+    names = ["data"]
+    if sp_size > 1:
+        shape.append(sp_size)
+        names.append("seq")
+    if tp_size > 1:
+        shape.append(tp_size)
+        names.append("model")
     return Mesh(
-        np.asarray(devices[:need]).reshape(dp_size, sp_size),
-        axis_names=("data", "seq"),
+        np.asarray(devices[:need]).reshape(shape), axis_names=tuple(names)
     )
 
 
@@ -112,3 +124,27 @@ def shard_batch(batch, mesh):
 def replicate(tree, mesh):
     sharding = replicated(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def shard_params(tree, mesh):
+    """Param/opt-state placement under tensor parallelism: column-shard
+    the OUTPUT (last) dimension of every kernel whose last dim splits into
+    'model'-many pieces of at least 8 lanes; everything else (biases, LN
+    scales, scalars, small kernels) replicates. Column sharding means each
+    device computes complete output columns — no partial sums in the
+    forward — and GSPMD chooses where to all-gather/psum around them.
+    Without a 'model' axis this is exactly `replicate`. Works for the
+    optimizer state too (moment leaves mirror param shapes)."""
+    if "model" not in mesh.axis_names:
+        return replicate(tree, mesh)
+    tp = mesh.shape["model"]
+
+    def put(x):
+        if getattr(x, "ndim", 0) >= 2 and x.shape[-1] % tp == 0 \
+                and x.shape[-1] // tp >= 8:
+            spec = P(*([None] * (x.ndim - 1) + ["model"]))
+        else:
+            spec = P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, tree)

@@ -26,7 +26,12 @@ from vslnet_tpu.models.losses import (
     reference_l2_predicate,
 )
 from vslnet_tpu.models.vslnet import build_model
-from vslnet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from vslnet_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    shard_params,
+)
 from vslnet_tpu.train.checkpoints import CheckpointManager
 from vslnet_tpu.train.metrics import ious_from_predictions, summarize_ious
 from vslnet_tpu.train.optim import make_optimizer
@@ -404,8 +409,14 @@ class Runner:
         self.dataset = dataset
         self.mesh = (
             mesh if mesh is not None
-            else make_mesh(configs.dp_size, getattr(configs, "sp_size", None))
+            else make_mesh(configs.dp_size, getattr(configs, "sp_size", None),
+                           getattr(configs, "tp_size", None))
         )
+        if "model" in self.mesh.axis_names:
+            # an explicitly passed tp mesh is the source of truth: sync the
+            # config so pallas_flags' auto-off-under-tp gate and the saved
+            # configs.json both see it (avoids a dual-source-of-truth trap)
+            configs.tp_size = int(self.mesh.shape["model"])
         from vslnet_tpu.config import resolve_rng_impl
 
         self.rng = set_random_state(configs.seed, resolve_rng_impl(configs))
@@ -509,9 +520,12 @@ class Runner:
                       % configs.bert_path, flush=True)
         self.tx, self.schedule = make_optimizer(configs)
         opt_state = self.tx.init(params)
-        self.params = replicate(params, self.mesh)
-        self.frozen = replicate(frozen, self.mesh)
-        self.opt_state = replicate(opt_state, self.mesh)
+        # replicated everywhere except under tensor parallelism, where
+        # large kernels (and their optimizer moments / frozen embeddings)
+        # column-shard over the 'model' axis
+        self.params = shard_params(params, self.mesh)
+        self.frozen = shard_params(frozen, self.mesh)
+        self.opt_state = shard_params(opt_state, self.mesh)
         self._train_step = make_train_step(self.model, self.tx, configs)
         # fused multi-step path: needs the fully device-resident dataset
         fused_setting = str(getattr(configs, "fused_steps", "auto"))
@@ -830,8 +844,8 @@ class Runner:
                 "opt_state": abstract_like(self.opt_state),
             }
         )
-        self.params = replicate(restored["params"], self.mesh)
-        self.opt_state = replicate(restored["opt_state"], self.mesh)
+        self.params = shard_params(restored["params"], self.mesh)
+        self.opt_state = shard_params(restored["opt_state"], self.mesh)
         return step, restored.get("extra", {})
 
     def restore(self):
@@ -855,10 +869,10 @@ class Runner:
                 )
 
         jax.tree.map(_check, self.params, variables["params"])
-        self.params = replicate(
+        self.params = shard_params(
             jax.tree.map(jnp.asarray, variables["params"]), self.mesh
         )
-        self.frozen = replicate(
+        self.frozen = shard_params(
             jax.tree.map(jnp.asarray, variables["frozen"]), self.mesh
         )
 
