@@ -303,6 +303,27 @@ def test_compile_cache_disable_spellings(tmp_path, monkeypatch, setting):
     assert not (tmp_path / setting).exists()
 
 
+def test_compile_cache_default_skips_cpu_backend(monkeypatch):
+    """With no explicit dir, the persistent cache stays off on the CPU
+    backend: XLA:CPU cache entries are AOT machine code whose embedded
+    feature checks can abort after a VM host change, and CPU compiles are
+    cheap anyway. (Explicit VSLNET_COMPILE_CACHE=<dir> still opts in —
+    next test.)"""
+    from vslnet_tpu.utils import cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "_DONE", False)
+    monkeypatch.delenv("VSLNET_COMPILE_CACHE", raising=False)
+    import jax
+
+    assert jax.default_backend() == "cpu"  # conftest forces CPU
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        cache_mod.enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == before
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+
 def test_compile_cache_explicit_dir(tmp_path, monkeypatch):
     from vslnet_tpu.utils import cache as cache_mod
 

@@ -21,6 +21,20 @@ def enable_compilation_cache():
     setting = os.environ.get("VSLNET_COMPILE_CACHE", "")
     if setting.strip().lower() in ("0", "off", "false", "no", "disable", "disabled", "none"):
         return
+    if not setting:
+        # Default-on only for accelerator backends, where compiles cost
+        # tens of seconds to minutes. XLA:CPU entries are AOT machine code
+        # whose embedded feature set includes compiler-derived tuning
+        # features (e.g. prefer-no-scatter) that no host signature can
+        # reproduce — reloading them after a VM host change warns "could
+        # lead to SIGILL" and has aborted test runs. CPU compiles are
+        # cheap; caching them is all risk, no win. An explicit
+        # VSLNET_COMPILE_CACHE=<dir> still opts in on any backend.
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
+            return
     cache_dir = setting or os.path.join(
         os.path.expanduser("~"), ".cache", "vslnet_tpu", "xla"
     )
