@@ -52,7 +52,7 @@ def main(argv=None):
         configs.cqa_bias = True  # t7 dialect (torch CQA output conv has bias)
     external_ckpt = bool(configs.t7_checkpoint or configs.tf_checkpoint)
 
-    if configs.mode.lower() in ("test", "predict") and not external_ckpt:
+    if configs.mode.lower() in ("test", "predict", "export") and not external_ckpt:
         # reload train-time configs, then re-apply explicit CLI overrides
         # (reference main.py:120-123); skipped when importing a torch .t7
         # checkpoint (no local training run exists to reload from)
@@ -121,6 +121,19 @@ def main(argv=None):
             ),
             flush=True,
         )
+    elif configs.mode.lower() == "export":
+        # serialize the restored eval step (weights baked in) as a
+        # self-contained StableHLO serving artifact (vslnet_tpu/export.py)
+        from vslnet_tpu.export import export_artifact
+
+        runner.restore()
+        out_path = configs.export_path or os.path.join(
+            configs.home_dir(), "model", "exported.vslx"
+        )
+        header = export_artifact(runner, out_path)
+        import json
+
+        print(json.dumps({"export_path": out_path, **header}), flush=True)
     else:
         raise ValueError("Unknown mode {}!!!".format(configs.mode))
 

@@ -88,6 +88,17 @@ def test_cli_train_then_test_then_predict(tmp_path, data_root, capsys):
     assert pred["vid"] == "VID01"
     assert 0.0 <= pred["start"] <= pred["end"] <= 21.0 + 1e-6
 
+    # --mode export: serialized serving artifact next to the checkpoint
+    cli.main(_args(data_root, tmp_path, "--mode", "export"))
+    out = capsys.readouterr().out
+    info = json.loads(out.strip().splitlines()[-1])
+    assert info["export_path"] == str(model_dir / "exported.vslx")
+    from vslnet_tpu.export import load_artifact
+
+    fn = load_artifact(info["export_path"])
+    assert fn.header["task"] == "charades"
+    assert fn.header["max_pos_len"] == 16
+
 
 def test_cli_unknown_task_and_mode(tmp_path):
     with pytest.raises(ValueError, match="Unknown task"):

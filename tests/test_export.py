@@ -1,0 +1,102 @@
+"""Serving-artifact export (vslnet_tpu/export.py): a serialized StableHLO
+eval step with weights baked in must decode identically to the live model,
+and must load without any model/dataset state."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vslnet_tpu.config import Config
+from vslnet_tpu.data.synthetic import synthetic_dataset
+from vslnet_tpu.export import export_artifact, load_artifact, read_header
+from vslnet_tpu.parallel.mesh import make_mesh
+from vslnet_tpu.train.runner import Runner, _eval_compute
+
+
+def _tiny_runner(tmp_path, **kw):
+    configs = Config(
+        batch_size=4, max_pos_len=16, video_feature_dim=12, hidden_size=16,
+        char_dim=4, word_dim=8, num_heads=4, epochs=1,
+        predictor=kw.pop("predictor", "transformer"),
+        model_dir=str(tmp_path / "ckpt"), save_dir=str(tmp_path / "d"),
+        log_to_tensorboard=False, **kw,
+    )
+    dataset, feats = synthetic_dataset(
+        n_train=8, n_test=4, n_videos=4, n_words=40, n_chars=12,
+        max_pos_len=16, video_feature_dim=12, word_dim=8, min_video_len=4,
+        seed=0,
+    )
+    return Runner(configs, dataset, feats, mesh=make_mesh(1))
+
+
+def test_export_artifact_roundtrip(tmp_path):
+    runner = _tiny_runner(tmp_path)
+    path = str(tmp_path / "model.vslx")
+    header = export_artifact(runner, path)
+    assert header["batch_size"] == 4 and header["max_pos_len"] == 16
+    # one artifact serves on both platforms (cross-lowering must not
+    # silently fall back — a pallas'd trace would)
+    assert set(header["platforms"]) == {"cpu", "tpu"}
+    assert read_header(path) == header
+
+    fn = load_artifact(path)
+    assert fn.header["predictor"] == "transformer"
+    rng = np.random.default_rng(0)
+    B, T, D = 4, 16, 12
+    W, C = runner.train_loader.max_w, runner.train_loader.max_c
+    vfeats = rng.standard_normal((B, T, D)).astype(np.float32)
+    v_len = rng.integers(1, T + 1, size=(B,)).astype(np.int32)
+    word_ids = rng.integers(0, 40, size=(B, W)).astype(np.int32)
+    char_ids = rng.integers(0, 12, size=(B, W, C)).astype(np.int32)
+
+    s_art, e_art = fn(vfeats, v_len, word_ids, char_ids)
+    batch = {"vfeats": vfeats, "v_len": v_len, "word_ids": word_ids,
+             "char_ids": char_ids}
+    s_ref, e_ref = jax.jit(
+        lambda p, f, b: _eval_compute(runner.model, False, p, f, b,
+                                      None, None)
+    )(runner.params, runner.frozen, batch)
+    np.testing.assert_array_equal(np.asarray(s_art), np.asarray(s_ref))
+    np.testing.assert_array_equal(np.asarray(e_art), np.asarray(e_ref))
+
+
+def test_export_artifact_loads_standalone(tmp_path):
+    """Loading must need nothing beyond the file: no dataset pickles, no
+    checkpoint tree, no Config — the weights travel inside the artifact."""
+    runner = _tiny_runner(tmp_path, predictor="rnn")
+    path = str(tmp_path / "m.vslx")
+    export_artifact(runner, path)
+    expected = np.asarray(
+        runner.eval_step(
+            runner.params, runner.frozen,
+            {
+                "vfeats": np.zeros((4, 16, 12), np.float32),
+                "v_len": np.full((4,), 16, np.int32),
+                "word_ids": np.zeros((4, runner.train_loader.max_w),
+                                     np.int32),
+                "char_ids": np.zeros(
+                    (4, runner.train_loader.max_w,
+                     runner.train_loader.max_c), np.int32),
+            },
+        )[0]
+    )
+    del runner  # the artifact alone must suffice
+    fn = load_artifact(path)
+    W, C = fn.header["max_words"], fn.header["max_chars"]
+    s, _ = fn(
+        jnp.zeros((4, 16, 12), jnp.float32),
+        jnp.full((4,), 16, jnp.int32),
+        jnp.zeros((4, W), jnp.int32),
+        jnp.zeros((4, W, C), jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(s), expected)
+
+
+def test_export_rejects_non_artifact(tmp_path):
+    p = tmp_path / "junk.vslx"
+    p.write_bytes(b"definitely not an artifact")
+    try:
+        load_artifact(str(p))
+    except ValueError as e:
+        assert "not a vslnet_tpu export artifact" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

@@ -93,6 +93,9 @@ class Config:
     duration: Optional[float] = None   # --mode predict: video duration in
     #                                    seconds (required when the vid has
     #                                    no annotation record to read it from)
+    export_path: Optional[str] = None  # --mode export: output artifact path
+    #   (serialized StableHLO eval step with weights baked in; vslnet_tpu/
+    #   export.py). Default: <home_dir>/model/exported.vslx
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
     # BERT text-encoder variant
     text_encoder: str = "glove"        # [glove | bert]
