@@ -130,7 +130,10 @@ def main(argv=None):
         out_path = configs.export_path or os.path.join(
             configs.home_dir(), "model", "exported.vslx"
         )
-        header = export_artifact(runner, out_path)
+        platforms = tuple(
+            p.strip() for p in configs.export_platforms.split(",") if p.strip()
+        )
+        header = export_artifact(runner, out_path, platforms=platforms)
         import json
 
         print(json.dumps({"export_path": out_path, **header}), flush=True)

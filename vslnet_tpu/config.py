@@ -96,6 +96,9 @@ class Config:
     export_path: Optional[str] = None  # --mode export: output artifact path
     #   (serialized StableHLO eval step with weights baked in; vslnet_tpu/
     #   export.py). Default: <home_dir>/model/exported.vslx
+    export_platforms: str = "cpu,tpu"  # --mode export: platforms to lower
+    #   for (comma-separated). One artifact serves everywhere listed;
+    #   dropping a platform halves export time.
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
     # BERT text-encoder variant
     text_encoder: str = "glove"        # [glove | bert]
