@@ -68,6 +68,15 @@ class Config:
     tp_size: Optional[int] = None      # tensor-parallel size: column-shards
     #   large kernels' output dims over a 'model' mesh axis (weight memory
     #   and matmul FLOPs split tp-ways; useful from hidden ~1024 up)
+    ring_attention: str = "off"        # [off | on | auto] ring attention
+    #   over the 'seq' mesh axis (parallel/ring.py): K/V blocks rotate
+    #   between ICI neighbors with an online-softmax accumulator instead of
+    #   GSPMD all-gathering them — per-device attention memory drops from
+    #   O(T/sp * T) to O((T/sp)^2) transient, enabling native-resolution
+    #   long videos. off (default): exact GSPMD numerics; on: require it
+    #   (errors if the mesh/shape can't); auto: use it whenever an sp mesh
+    #   axis exists and shapes divide. Numerics differ from dense only by
+    #   fp reduction order; dropout bits match the fused MHA kernel exactly.
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
     fused_steps: str = "auto"          # [auto|off] lax.scan K train steps per
                                        # dispatch (device-resident data only)

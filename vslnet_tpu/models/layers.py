@@ -296,10 +296,15 @@ class MultiHeadAttention(nn.Module):
     mha_pallas: bool = False  # fused scores->mask->softmax->dropout->PV
     #   kernel (ops/pallas_kernels.fused_mha): never materializes the
     #   [B, h, T, T] score/prob/dropout tensors through HBM
+    ring_mesh: Any = None  # jax Mesh with a 'seq' axis: ring attention
+    #   (parallel/ring.py) rotates K/V blocks over ICI instead of letting
+    #   GSPMD all-gather them — per-device attention memory O((T/sp)^2)
+    #   transient instead of O(T/sp * T). Only used on calls that pass
+    #   ring=True (the video stream, whose T axis is 'seq'-sharded).
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate,
-                 return_params=False):
+                 return_params=False, ring=False):
         if self.dim % self.num_heads != 0:
             raise ValueError(
                 "The hidden size (%d) is not a multiple of the attention heads"
@@ -331,17 +336,36 @@ class MultiHeadAttention(nn.Module):
             mha_pallas_supported,
         )
 
+        def drop_seeds(rate):
+            # per-example counter-hash dropout seeds, shared contract
+            # between fused_mha and ring_attention (identical keep bits)
+            if rate > 0.0:
+                rng = self.make_rng("dropout")
+                return jax.random.randint(
+                    rng, (B, 1), 0, 1 << 23).astype(jnp.float32)
+            return jnp.zeros((B, 1), jnp.float32)
+
+        if ring and self.ring_mesh is not None and mask is not None:
+            from vslnet_tpu.parallel.ring import (
+                ring_attention,
+                ring_supported,
+            )
+
+            # static per-call divisibility guard: shard_map needs B/T to
+            # split evenly over 'data'/'seq' (e.g. init traces with B=2)
+            if (ring_supported(self.ring_mesh, T, self.num_heads)
+                    and B % int(self.ring_mesh.shape["data"]) == 0):
+                rate = 0.0 if deterministic else float(drop_rate)
+                return ring_attention(
+                    q_proj, k_proj, v_proj, mask.astype(jnp.float32),
+                    drop_seeds(rate), self.num_heads, rate, self.ring_mesh,
+                )
+
         if (self.mha_pallas and mask is not None
                 and mha_pallas_supported(T, self.dim, self.num_heads)):
             rate = 0.0 if deterministic else float(drop_rate)
-            if rate > 0.0:
-                rng = self.make_rng("dropout")
-                seeds = jax.random.randint(
-                    rng, (B, 1), 0, 1 << 23).astype(jnp.float32)
-            else:
-                seeds = jnp.zeros((B, 1), jnp.float32)
             return fused_mha(q_proj, k_proj, v_proj,
-                             mask.astype(jnp.float32), seeds,
+                             mask.astype(jnp.float32), drop_seeds(rate),
                              self.num_heads, rate)
 
         def split_heads(t):
@@ -374,16 +398,21 @@ class MultiHeadAttentionBlock(nn.Module):
     use_bias: bool = True
     dtype: Dtype = jnp.float32
     mha_pallas: bool = False
+    ring_mesh: Any = None
 
     @nn.compact
-    def __call__(self, x, mask=None, *, deterministic, drop_rate):
+    def __call__(self, x, mask=None, *, deterministic, drop_rate,
+                 ring=False):
         from vslnet_tpu.ops.pallas_kernels import (
             fused_mha_block,
             mha_block_pallas_fits,
         )
 
         B, T, _ = x.shape
+        use_ring = ring and self.ring_mesh is not None and mask is not None
         if (self.mha_pallas and self.use_bias and mask is not None
+                and not use_ring  # ring keeps T sharded; the fused block
+                #   kernel is batch-partitioned and would gather full T
                 and mha_block_pallas_fits(T, self.dim, self.num_heads)):
             # whole block in ONE kernel (LN1 -> dropout -> QKV -> attention
             # -> dropout -> residual -> LN2 -> dropout -> dense -> dropout
@@ -416,8 +445,10 @@ class MultiHeadAttentionBlock(nn.Module):
         y = drop(y)
         y = MultiHeadAttention(
             dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
-            mha_pallas=self.mha_pallas, name="multihead_attention",
-        )(y, mask=mask, deterministic=deterministic, drop_rate=drop_rate)
+            mha_pallas=self.mha_pallas, ring_mesh=self.ring_mesh,
+            name="multihead_attention",
+        )(y, mask=mask, deterministic=deterministic, drop_rate=drop_rate,
+          ring=ring)
         y = drop(y)
         residual = y + x
         y = LayerNorm(dtype=self.dtype, name="layer_norm_2")(residual)
@@ -439,9 +470,11 @@ class FeatureEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     mha_pallas: bool = False
     conv_pallas: bool = False
+    ring_mesh: Any = None
 
     @nn.compact
-    def __call__(self, x, mask=None, *, deterministic, drop_rate):
+    def __call__(self, x, mask=None, *, deterministic, drop_rate,
+                 ring=False):
         x = PositionalEmbedding(
             max_position_length=self.max_position_length, dtype=self.dtype,
             name="positional_embedding",
@@ -452,8 +485,10 @@ class FeatureEncoder(nn.Module):
         )(x, deterministic=deterministic, drop_rate=drop_rate)
         x = MultiHeadAttentionBlock(
             dim=self.hidden_size, num_heads=self.num_heads, dtype=self.dtype,
-            mha_pallas=self.mha_pallas, name="multihead_attention_block",
-        )(x, mask=mask, deterministic=deterministic, drop_rate=drop_rate)
+            mha_pallas=self.mha_pallas, ring_mesh=self.ring_mesh,
+            name="multihead_attention_block",
+        )(x, mask=mask, deterministic=deterministic, drop_rate=drop_rate,
+          ring=ring)
         return x
 
 
@@ -664,6 +699,8 @@ class ConditionedPredictor(nn.Module):
     use_pallas: bool = False
     mha_pallas: bool = False
     conv_pallas: bool = False
+    ring_mesh: Any = None  # transformer mode operates on the video T axis,
+    #   so its encoders ring-attend whenever the mesh shards it
 
     @nn.compact
     def __call__(self, x, seq_len, v_mask, *, deterministic, drop_rate):
@@ -681,14 +718,16 @@ class ConditionedPredictor(nn.Module):
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
                 max_position_length=self.max_position_length, dtype=self.dtype,
                 mha_pallas=self.mha_pallas, conv_pallas=self.conv_pallas,
-                name="feature_encoder",
+                ring_mesh=self.ring_mesh, name="feature_encoder",
             )
+            ring = self.ring_mesh is not None
             start_features = encoder(
-                x, mask=v_mask, deterministic=deterministic, drop_rate=drop_rate
+                x, mask=v_mask, deterministic=deterministic,
+                drop_rate=drop_rate, ring=ring,
             )
             end_features = encoder(
                 start_features, mask=v_mask, deterministic=deterministic,
-                drop_rate=drop_rate,
+                drop_rate=drop_rate, ring=ring,
             )
             start_features = LayerNorm(dtype=self.dtype, name="s_layer_norm")(
                 start_features

@@ -53,6 +53,11 @@ class VSLNet(nn.Module):
     # BERT text-encoder variant (BASELINE.json config 5): replaces
     # GloVe+charCNN at the model/VSLNet.py:43-48 boundary; word_ids are then
     # WordPiece token ids and char_ids are ignored.
+    ring_mesh: Any = None  # jax Mesh with a 'seq' axis: self-attention on
+    #   the video stream (whose T axis is 'seq'-sharded) uses ring attention
+    #   (parallel/ring.py) — K/V blocks rotate over ICI via ppermute instead
+    #   of GSPMD all-gathering them. Query-stream attention (W axis,
+    #   replicated) stays dense.
     text_encoder: str = "glove"  # [glove | bert]
     bert_vocab_size: int = 30522
     bert_hidden: int = 768
@@ -108,10 +113,11 @@ class VSLNet(nn.Module):
                         else self.mha_pallas),
             conv_pallas=(self.use_pallas if self.conv_pallas is None
                          else self.conv_pallas),
+            ring_mesh=self.ring_mesh,
             name="feature_encoder",
         )
         video = encoder(video, mask=v_mask, deterministic=deterministic,
-                        drop_rate=drop_rate)
+                        drop_rate=drop_rate, ring=self.ring_mesh is not None)
         query = encoder(query, mask=q_mask, deterministic=deterministic,
                         drop_rate=drop_rate)
         # context-query attention + pooled-query concat
@@ -142,6 +148,7 @@ class VSLNet(nn.Module):
                         else self.mha_pallas),
             conv_pallas=(self.use_pallas if self.conv_pallas is None
                          else self.conv_pallas),
+            ring_mesh=self.ring_mesh,
             name="conditioned_predictor",
         )(feats, v_len, v_mask, deterministic=deterministic,
           drop_rate=drop_rate)
@@ -156,11 +163,32 @@ class VSLNet(nn.Module):
         }
 
 
-def build_model(configs, word_vectors_shape, dtype=None):
+def build_model(configs, word_vectors_shape, dtype=None, mesh=None):
     from vslnet_tpu.config import pallas_flags
 
     if dtype is None:
         dtype = jnp.bfloat16 if configs.precision == "bf16" else jnp.float32
+    ring_mesh = None
+    ra = str(getattr(configs, "ring_attention", "off")).lower()
+    if ra in ("on", "true", "1", "yes", "auto"):
+        from vslnet_tpu.parallel.ring import ring_supported
+
+        if mesh is not None and "seq" in mesh.axis_names:
+            ok = ring_supported(mesh, configs.max_pos_len, configs.num_heads)
+            if not ok and ra != "auto":
+                raise ValueError(
+                    "--ring_attention on: needs max_pos_len %% sp_size == 0"
+                    " and num_heads %% tp_size == 0 (max_pos_len=%d heads=%d"
+                    " mesh=%s)" % (configs.max_pos_len, configs.num_heads,
+                                   dict(mesh.shape))
+                )
+            if ok:
+                ring_mesh = mesh
+        elif ra != "auto":
+            raise ValueError(
+                "--ring_attention on: requires a 'seq' mesh axis"
+                " (set --sp_size > 1)"
+            )
     bert_kw = {}
     if getattr(configs, "text_encoder", "glove") == "bert":
         bert_kw = dict(
@@ -188,5 +216,6 @@ def build_model(configs, word_vectors_shape, dtype=None):
         mha_pallas=pallas_flags(configs)["mha"],
         conv_pallas=pallas_flags(configs)["conv"],
         cqa_bias=bool(getattr(configs, "cqa_bias", False)),
+        ring_mesh=ring_mesh,
         **bert_kw,
     )

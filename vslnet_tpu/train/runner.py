@@ -489,7 +489,8 @@ class Runner:
         )
         if configs.num_train_steps is None:
             configs.num_train_steps = self.num_train_batches * configs.epochs
-        self.model = build_model(configs, dataset["word_vector"].shape)
+        self.model = build_model(configs, dataset["word_vector"].shape,
+                                 mesh=self.mesh)
         # init uses the impl-independent threefry key so the same seed
         # produces identical initial weights on every backend regardless of
         # --rng_impl; only the dropout stream (self.rng) switches impls
