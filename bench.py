@@ -342,9 +342,56 @@ def bench_long_context(T=2048, B=8):
             "clip_positions_per_sec": round(rate["median"] * B * T, 1)}
 
 
+def _require_live_backend(timeout_s=600.0):
+    """Initialize the JAX backend under a watchdog. The remote-TPU (axon)
+    plugin blocks in an indefinite connect-retry sleep when the tunnel is
+    down; without this, bench hangs forever instead of reporting. Emits a
+    diagnostic JSON line and exits nonzero on timeout."""
+    import os
+    import sys
+    import threading
+
+    devices = []
+    err = []
+
+    def _init():
+        try:
+            devices.extend(jax.devices())
+        except Exception as e:  # surface init errors, not just hangs
+            err.append(repr(e))
+
+    t = threading.Thread(target=_init, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if devices:
+        return
+    print(
+        json.dumps(
+            {
+                "metric": "train_steps_per_sec",
+                "value": 0,
+                "unit": "steps/s",
+                "vs_baseline": 0,
+                "error": (
+                    err[0]
+                    if err
+                    else "JAX backend init did not complete within %.0fs "
+                    "(remote-TPU tunnel down?)" % timeout_s
+                ),
+            }
+        ),
+        flush=True,
+    )
+    # the init thread may be wedged inside the PJRT plugin; a normal exit
+    # would join it and hang again
+    os._exit(1)
+    sys.exit(1)  # unreachable; keeps linters happy
+
+
 def main():
     from vslnet_tpu.utils.cache import enable_compilation_cache
 
+    _require_live_backend()
     enable_compilation_cache()
     results = {p: bench_predictor(p) for p in ("transformer", "rnn")}
     # default (auto) runs the rnn head on the fused Pallas recurrence, the

@@ -349,3 +349,35 @@ def test_compile_cache_explicit_dir(tmp_path, monkeypatch):
         assert got is not None and got.startswith(str(tmp_path / "xc"))
     finally:
         jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_honor_jax_platforms_env(monkeypatch):
+    """An explicit JAX_PLATFORMS env var outranks the platform list a PJRT
+    plugin injected at import time (the axon plugin rewrites it to
+    'axon,cpu', so JAX_PLATFORMS=cpu would still try — and hang on — the
+    remote-TPU tunnel)."""
+    import jax
+    from jax._src import xla_bridge
+
+    from vslnet_tpu.utils import cache as cache_mod
+
+    before = str(jax.config.jax_platforms or "")
+    # no env var -> untouched, even pre-backend-init
+    monkeypatch.delenv("JAX_PLATFORMS", raising=False)
+    monkeypatch.setattr(xla_bridge, "backends_are_initialized", lambda: False)
+    cache_mod.honor_jax_platforms_env()
+    assert str(jax.config.jax_platforms or "") == before
+    try:
+        # plugin-injected list + explicit env var -> env var wins
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        jax.config.update("jax_platforms", "axon,cpu")
+        cache_mod.honor_jax_platforms_env()
+        assert jax.config.jax_platforms == "cpu"
+        # backend already initialized -> too late, leave it alone
+        jax.config.update("jax_platforms", "axon,cpu")
+        monkeypatch.setattr(
+            xla_bridge, "backends_are_initialized", lambda: True)
+        cache_mod.honor_jax_platforms_env()
+        assert jax.config.jax_platforms == "axon,cpu"
+    finally:
+        jax.config.update("jax_platforms", before or None)

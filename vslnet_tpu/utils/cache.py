@@ -13,11 +13,38 @@ import jax
 _DONE = False
 
 
+def honor_jax_platforms_env():
+    """Re-assert the user's JAX_PLATFORMS env var over plugin edits.
+
+    The remote-TPU (axon) PJRT plugin rewrites `jax.config.jax_platforms`
+    to "axon,cpu" during plugin discovery at import time, so an explicit
+    `JAX_PLATFORMS=cpu python main.py ...` still tries axon first — and
+    hangs in the plugin's connect-retry sleep whenever the tunnel is down.
+    An env var the user set by hand outranks a plugin default; put it
+    back. No-op when the env var is unset or a backend already exists
+    (too late to change the platform order safely)."""
+    want = os.environ.get("JAX_PLATFORMS", "").strip()
+    if not want:
+        return
+    try:
+        from jax._src import xla_bridge
+
+        if xla_bridge.backends_are_initialized():
+            return
+        if str(jax.config.jax_platforms or "") != want:
+            jax.config.update("jax_platforms", want)
+    except Exception:
+        pass  # never fail startup over platform-order hygiene
+
+
 def enable_compilation_cache():
+    """Common CLI startup hook: every entry point calls this once, early,
+    so platform-env hygiene rides along with the cache setup."""
     global _DONE
     if _DONE:
         return
     _DONE = True
+    honor_jax_platforms_env()
     setting = os.environ.get("VSLNET_COMPILE_CACHE", "")
     if setting.strip().lower() in ("0", "off", "false", "no", "disable", "disabled", "none"):
         return
@@ -30,10 +57,30 @@ def enable_compilation_cache():
         # lead to SIGILL" and has aborted test runs. CPU compiles are
         # cheap; caching them is all risk, no win. An explicit
         # VSLNET_COMPILE_CACHE=<dir> still opts in on any backend.
+        #
+        # CRITICAL: decide WITHOUT initializing a backend. This runs at
+        # import time in every entry point, and jax.default_backend()
+        # would initialize the remote-TPU (axon) backend — which blocks
+        # in an indefinite connect-retry sleep whenever the tunnel is
+        # down, hanging every CLI before argv parsing. Read the selected
+        # platform from config/env instead; only ask a backend that is
+        # already live.
         try:
-            if jax.default_backend() == "cpu":
-                return
+            from jax._src import xla_bridge
+
+            if xla_bridge.backends_are_initialized():
+                platform = jax.default_backend()
+            else:
+                platform = (
+                    str(jax.config.jax_platforms or "")
+                    or os.environ.get("JAX_PLATFORMS", "")
+                ).split(",")[0].strip().lower()
         except Exception:
+            return
+        if platform == "cpu" or not platform:
+            # unknown (auto-detect) counts as CPU: enabling would require
+            # initializing a backend to find out, and the cache is only a
+            # startup optimization
             return
     cache_dir = setting or os.path.join(
         os.path.expanduser("~"), ".cache", "vslnet_tpu", "xla"
