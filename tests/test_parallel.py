@@ -324,12 +324,20 @@ def test_graft_entry_multichip_from_one_device_env():
         if "xla_force_host_platform_device_count" not in f
     )  # -> backend defaults to 1 CPU device, like the driver's 1 TPU chip
     code = (
-        "import jax; assert len(jax.devices()) == 1, jax.devices(); "
+        # re-assert the CPU platform pre-init: the axon plugin rewrites
+        # jax_platforms to 'axon,cpu' at interpreter start, stomping the
+        # env var — jax.devices() would then block forever on a down TPU
+        # tunnel instead of exposing the 1-CPU-device backend we want
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        "assert len(jax.devices()) == 1, jax.devices(); "
         "import __graft_entry__ as ge; ge.dryrun_multichip(8)"
     )
     proc = subprocess.run(
         [sys.executable, "-c", code], cwd=repo, env=env,
-        capture_output=True, text=True, timeout=600,
+        capture_output=True, text=True, timeout=1800,
+        # 1800s: the child compiles the full train step (+ ring attention)
+        # twice on an 8-device virtual mesh — minutes on a 1-CPU host with
+        # the rest of the suite contending, well under 2 min on a real box
     )
     assert proc.returncode == 0, proc.stdout + proc.stderr
     assert "dryrun_multichip(8)" in proc.stdout
