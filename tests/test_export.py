@@ -100,3 +100,90 @@ def test_export_rejects_non_artifact(tmp_path):
         assert "not a vslnet_tpu export artifact" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_quantize_leaf_error_bound():
+    """int8 per-channel symmetric quantization: |x - deq(q)| <= scale/2,
+    with scale = channel max / 127 along the kept axis."""
+    from vslnet_tpu.export import _compress_leaf, _dequant_tree
+
+    rng = np.random.default_rng(0)
+    for keep_axis, shape in ((-1, (96, 48)), (0, (80, 64))):
+        x = (rng.standard_normal(shape) * rng.uniform(0.01, 3)).astype(
+            np.float32
+        )
+        leaf = _compress_leaf(x, "int8", keep_axis)
+        deq = np.asarray(_dequant_tree({"w": leaf})["w"])
+        axes = tuple(a for a in range(x.ndim) if a != keep_axis % x.ndim)
+        scale = np.abs(x).max(axis=axes, keepdims=True) / 127.0
+        assert (np.abs(x - deq) <= scale / 2 + 1e-8).all()
+    # small / 1-D arrays pass through untouched
+    b = rng.standard_normal(16).astype(np.float32)
+    assert _compress_leaf(b, "int8", -1) is b
+
+
+def test_export_quantized_weights(tmp_path):
+    """--export_quantize: int8/bf16 weight compression must shrink the
+    artifact substantially while decoding identically on this model;
+    compute stays fp32 so the artifact still lowers everywhere."""
+    import dataclasses
+    import os
+
+    configs = Config(
+        batch_size=4, max_pos_len=16, video_feature_dim=24, hidden_size=64,
+        char_dim=8, word_dim=16, num_heads=4, epochs=1,
+        predictor="transformer",
+        model_dir=str(tmp_path / "ckpt"), save_dir=str(tmp_path / "d"),
+        log_to_tensorboard=False,
+    )
+    dataset, feats = synthetic_dataset(
+        n_train=8, n_test=4, n_videos=4, n_words=300, n_chars=12,
+        max_pos_len=16, video_feature_dim=24, word_dim=16, min_video_len=4,
+        seed=0,
+    )
+    runner = Runner(configs, dataset, feats, mesh=make_mesh(1))
+    rng = np.random.default_rng(1)
+    B, T, D = 4, 16, 24
+    W, C = runner.train_loader.max_w, runner.train_loader.max_c
+    n_words = dataset["word_vector"].shape[0]
+    args = (
+        rng.standard_normal((B, T, D)).astype(np.float32),
+        rng.integers(1, T + 1, size=(B,)).astype(np.int32),
+        rng.integers(0, n_words, size=(B, W)).astype(np.int32),
+        rng.integers(0, 12, size=(B, W, C)).astype(np.int32),
+    )
+    out, size = {}, {}
+    for mode in ("off", "bf16", "int8"):
+        runner.configs = dataclasses.replace(
+            runner.configs, export_quantize=mode
+        )
+        path = str(tmp_path / ("m_%s.vslx" % mode))
+        header = export_artifact(runner, path, platforms=("cpu",))
+        assert header["quantize"] == mode
+        fn = load_artifact(path)
+        assert fn.header["quantize"] == mode
+        out[mode] = [np.asarray(x) for x in fn(*args)]
+        size[mode] = os.path.getsize(path)
+    assert size["bf16"] < 0.75 * size["off"], size
+    assert size["int8"] < 0.55 * size["off"], size
+    # per-channel int8 error is ~0.4% of each channel's weight max —
+    # decoded spans come out identical here (pinned: a numerics change
+    # that flips decodes should be a deliberate one)
+    for mode in ("bf16", "int8"):
+        np.testing.assert_array_equal(out[mode][0], out["off"][0])
+        np.testing.assert_array_equal(out[mode][1], out["off"][1])
+
+
+def test_export_quantize_rejects_unknown_mode(tmp_path):
+    import dataclasses
+
+    runner = _tiny_runner(tmp_path)
+    runner.configs = dataclasses.replace(
+        runner.configs, export_quantize="fp4"
+    )
+    try:
+        export_artifact(runner, str(tmp_path / "m.vslx"), platforms=("cpu",))
+    except ValueError as e:
+        assert "export_quantize" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

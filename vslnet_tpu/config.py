@@ -108,6 +108,11 @@ class Config:
     export_platforms: str = "cpu,tpu"  # --mode export: platforms to lower
     #   for (comma-separated). One artifact serves everywhere listed;
     #   dropping a platform halves export time.
+    export_quantize: str = "off"       # [off | bf16 | int8] --mode export
+    #   weight compression: bf16 halves every large baked-in weight; int8
+    #   stores them as int8 + per-channel fp32 scales (kernels:
+    #   per-output-channel; embedding tables: per-row), dequantized
+    #   in-graph at load. ~4x smaller artifact; compute stays fp32.
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
     # BERT text-encoder variant
     text_encoder: str = "glove"        # [glove | bert]

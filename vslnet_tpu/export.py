@@ -32,6 +32,67 @@ from jax import export as jax_export
 # JSON header (shapes/meta) + serialized jax.export bytes
 _MAGIC = b"VSLXPT01"
 
+# weights smaller than this stay fp32 under --export_quantize (biases,
+# LayerNorm scales, tiny tables): compressing them saves nothing and the
+# per-channel scale overhead can exceed the payload
+_MIN_QUANT_SIZE = 1024
+
+
+class _QLeaf:
+    """A compressed weight baked into the artifact: `q` (int8 or bfloat16
+    payload) + `scale` (fp32 per-channel dequant scales for int8; None for
+    bf16). Unregistered as a pytree on purpose — jax.tree.map treats it as
+    a leaf, so one map compresses/dequantizes a whole param tree."""
+
+    __slots__ = ("q", "scale")
+
+    def __init__(self, q, scale):
+        self.q = q
+        self.scale = scale
+
+
+def _compress_leaf(x, mode, keep_axis):
+    """Quantize one weight array (host-side, pre-trace).
+
+    int8: symmetric per-channel — scales keep `keep_axis` (the output
+    channel for kernels, the row for embedding tables) and reduce over the
+    rest, so each channel's max|w| maps to 127.
+    """
+    if x.ndim < 2 or x.size < _MIN_QUANT_SIZE or x.dtype != np.float32:
+        return x
+    if mode == "bf16":
+        return _QLeaf(x.astype(jnp.bfloat16), None)
+    axes = tuple(a for a in range(x.ndim) if a != keep_axis % x.ndim)
+    amax = np.abs(x).max(axis=axes, keepdims=True)
+    scale = np.maximum(amax / 127.0, np.finfo(np.float32).tiny)
+    q = np.clip(np.rint(x / scale), -127, 127).astype(np.int8)
+    return _QLeaf(q, scale.astype(np.float32))
+
+
+def _compress_tree(tree, mode, keep_axis):
+    if mode in (None, "off"):
+        return tree
+    if mode not in ("bf16", "int8"):
+        raise ValueError(
+            "export_quantize must be one of off|bf16|int8, got %r" % mode
+        )
+    return jax.tree.map(lambda x: _compress_leaf(x, mode, keep_axis), tree)
+
+
+def _dequant_tree(tree):
+    """In-trace inverse of _compress_tree: the compressed payloads become
+    int8/bf16 StableHLO constants and the dequant is elementwise fp32 math
+    XLA fuses into the first consumer."""
+
+    def deq(x):
+        if not isinstance(x, _QLeaf):
+            return x
+        if x.scale is None:  # bf16
+            return jnp.asarray(x.q).astype(jnp.float32)
+        return jnp.asarray(x.q).astype(jnp.float32) * x.scale
+
+    return jax.tree.map(deq, tree)
+
 
 def _eval_fn(runner):
     """The export target: eval compute (forward + span decode) with the
@@ -47,15 +108,25 @@ def _eval_fn(runner):
 
     cfg = dataclasses.replace(runner.configs, use_pallas="off")
     model = build_model(cfg, runner.dataset["word_vector"].shape)
-    params = jax.tree.map(np.asarray, runner.params)
-    frozen = jax.tree.map(np.asarray, runner.frozen)
+    quant = getattr(runner.configs, "export_quantize", "off")
+    # kernels quantize per-output-channel (last axis); the frozen GloVe
+    # table — the dominant constant at real vocab sizes — per-row (axis 0)
+    params = _compress_tree(
+        jax.tree.map(np.asarray, runner.params), quant, keep_axis=-1
+    )
+    frozen = _compress_tree(
+        jax.tree.map(np.asarray, runner.frozen), quant, keep_axis=0
+    )
 
     def fn(vfeats, v_len, word_ids, char_ids):
         batch = {
             "vfeats": vfeats, "v_len": v_len,
             "word_ids": word_ids, "char_ids": char_ids,
         }
-        return _eval_compute(model, False, params, frozen, batch, None, None)
+        return _eval_compute(
+            model, False, _dequant_tree(params), _dequant_tree(frozen),
+            batch, None, None,
+        )
 
     return fn
 
@@ -92,6 +163,7 @@ def export_artifact(runner, path, platforms=("cpu", "tpu")):
         "max_words": W, "max_chars": C, "platforms": used,
         "task": cfg.task, "predictor": cfg.predictor,
         "text_encoder": cfg.text_encoder,
+        "quantize": getattr(cfg, "export_quantize", "off"),
     }
     blob = json.dumps(header).encode()
     with open(path, "wb") as f:
