@@ -114,6 +114,11 @@ class Config:
     #   per-output-channel; embedding tables: per-row), dequantized
     #   in-graph at load. ~4x smaller artifact; compute stays fp32.
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
+    nan_guard: bool = False            # skip any optimizer update whose loss
+    #   or global grad norm is non-finite: params + opt state keep their
+    #   previous values and the skip is counted (train/nan_skips) — a
+    #   production guard against fp overflow poisoning a long run. Healthy
+    #   steps are bit-identical to nan_guard=false.
     # BERT text-encoder variant
     text_encoder: str = "glove"        # [glove | bert]
     bert_path: Optional[str] = None    # local HF dir (config.json + weights

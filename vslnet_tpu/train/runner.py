@@ -164,8 +164,31 @@ def _make_loss_fn(model, configs):
     return loss_fn
 
 
+def _apply_update(tx, params, opt_state, grads, loss, guard):
+    """One optimizer update; with `guard`, a non-finite loss or global grad
+    norm keeps params + opt state unchanged (the bad step is skipped — the
+    select also stops NaN moments/params from ever materializing) and the
+    skip is reported. Finite steps select the new values, bit-identical to
+    the unguarded path. Returns (params, opt_state, skipped int32)."""
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    if not guard:
+        return new_params, new_opt_state, jnp.zeros((), jnp.int32)
+    ok = jnp.isfinite(loss) & jnp.isfinite(optax.global_norm(grads))
+
+    def sel(new, old):
+        return jnp.where(ok, new, old)
+
+    return (
+        jax.tree.map(sel, new_params, params),
+        jax.tree.map(sel, new_opt_state, opt_state),
+        (~ok).astype(jnp.int32),
+    )
+
+
 def make_train_step(model, tx, configs):
     loss_fn = _make_loss_fn(model, configs)
+    guard = bool(getattr(configs, "nan_guard", False))
 
     # donate params + opt_state buffers: they are consumed and rebuilt every
     # step, so XLA can update in place instead of allocating fresh HBM
@@ -176,9 +199,13 @@ def make_train_step(model, tx, configs):
         grads, (loss, hl) = jax.grad(loss_fn, has_aux=True)(
             params, frozen, batch, step_rng, bank, split
         )
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, {"loss": loss, "highlight_loss": hl}
+        params, opt_state, skipped = _apply_update(
+            tx, params, opt_state, grads, loss, guard
+        )
+        metrics = {"loss": loss, "highlight_loss": hl}
+        if guard:
+            metrics["nan_skips"] = skipped
+        return params, opt_state, metrics
 
     return train_step
 
@@ -197,6 +224,7 @@ def make_train_many(model, tx, configs):
     from the same shuffle stream), same donated-buffer updates; per-step
     losses come back stacked for the host-side period logging."""
     loss_fn = _make_loss_fn(model, configs)
+    guard = bool(getattr(configs, "nan_guard", False))
 
     @functools.partial(jax.jit, donate_argnums=(0, 2))
     def train_many(params, frozen, opt_state, idxs, rng, step0, bank=None,
@@ -208,15 +236,19 @@ def make_train_many(model, tx, configs):
             grads, (loss, hl) = jax.grad(loss_fn, has_aux=True)(
                 params, frozen, {"idxs": ids}, step_rng, bank, split
             )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), (loss, hl)
+            params, opt_state, skipped = _apply_update(
+                tx, params, opt_state, grads, loss, guard
+            )
+            return (params, opt_state), (loss, hl, skipped)
 
         steps = step0 + jnp.arange(idxs.shape[0], dtype=jnp.int32)
-        (params, opt_state), (losses, hls) = jax.lax.scan(
+        (params, opt_state), (losses, hls, skips) = jax.lax.scan(
             body, (params, opt_state), (steps, idxs)
         )
-        return params, opt_state, {"loss": losses, "highlight_loss": hls}
+        metrics = {"loss": losses, "highlight_loss": hls}
+        if guard:
+            metrics["nan_skips"] = skips
+        return params, opt_state, metrics
 
     return train_many
 
@@ -692,6 +724,20 @@ class Runner:
         t_start = time.time()
         score_mode = "a" if (resume and global_step > 0) else "w"
         period_t0 = time.time()
+        # --nan_guard accounting: guarded steps report a skipped flag;
+        # the fused path sums it per chunk (free — the chunk already
+        # syncs), the per-step path batches the tiny scalar fetches to
+        # period boundaries so the guard never adds per-step syncs
+        nan_skips = 0
+        pending_skips = []
+
+        def drain_skips():
+            nonlocal nan_skips
+            if pending_skips:
+                nan_skips += sum(
+                    int(np.asarray(x)) for x in pending_skips
+                )
+                pending_skips.clear()
         # optional jax.profiler capture of steps [warmup, warmup + N)
         # (SURVEY.md §5: the reference has no tracing/profiling at all);
         # warmup shrinks on short runs so the window always fits
@@ -781,6 +827,8 @@ class Runner:
                     )
                     losses = np.asarray(m["loss"])  # syncs the chunk
                     h_losses = np.asarray(m["highlight_loss"])
+                    if "nan_skips" in m:
+                        nan_skips += int(np.asarray(m["nan_skips"]).sum())
                     steps_per_sec = k / max(time.time() - t0, 1e-9)
                     for s in range(global_step + 1, stop + 1):
                         if s % configs.period == 0:
@@ -807,6 +855,8 @@ class Runner:
                         self.rng, global_step,
                     )
                     global_step += 1
+                    if "nan_skips" in m:
+                        pending_skips.append(m["nan_skips"])
                     if global_step == profile_end:
                         jax.block_until_ready(self.params)
                         jax.profiler.stop_trace()
@@ -820,6 +870,7 @@ class Runner:
                         steps_per_sec = configs.period / max(
                             now - period_t0, 1e-9)
                         period_t0 = now
+                        drain_skips()
                         log_period(global_step, epoch, float(m["loss"]),
                                    float(m["highlight_loss"]), steps_per_sec)
                     maybe_eval(epoch)
@@ -827,6 +878,15 @@ class Runner:
             # training ended inside the capture window
             jax.block_until_ready(self.params)
             jax.profiler.stop_trace()
+        drain_skips()
+        if nan_skips and is_primary:
+            writer.write([("train/nan_skips", nan_skips)], global_step)
+            if verbose:
+                print(
+                    "WARNING: nan_guard skipped %d non-finite step(s)"
+                    % nan_skips,
+                    flush=True,
+                )
         writer.close()
         ckpt.close()
         elapsed = time.time() - t_start
@@ -834,6 +894,7 @@ class Runner:
             "best_r1i7": best_r1i7,
             "global_step": global_step,
             "train_time_s": elapsed,
+            "nan_skips": nan_skips,
         }
 
     def _restore_from(self, ckpt):
