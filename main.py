@@ -111,16 +111,31 @@ def main(argv=None):
                 "Video {} has no annotation record to read its duration "
                 "from; pass --duration <seconds>".format(configs.vid)
             )
-        start_s, end_s = loc.localize(feats, duration, configs.query)
         import json
 
-        print(
-            json.dumps(
-                {"vid": configs.vid, "query": configs.query,
-                 "start": round(start_s, 3), "end": round(end_s, 3)}
-            ),
-            flush=True,
-        )
+        if configs.top_k > 1:
+            spans = loc.localize(feats, duration, configs.query,
+                                 top_k=configs.top_k)
+            print(
+                json.dumps(
+                    {"vid": configs.vid, "query": configs.query,
+                     "spans": [
+                         {"start": round(s, 3), "end": round(e, 3),
+                          "prob": round(p, 6)}
+                         for s, e, p in spans
+                     ]}
+                ),
+                flush=True,
+            )
+        else:
+            start_s, end_s = loc.localize(feats, duration, configs.query)
+            print(
+                json.dumps(
+                    {"vid": configs.vid, "query": configs.query,
+                     "start": round(start_s, 3), "end": round(end_s, 3)}
+                ),
+                flush=True,
+            )
     elif configs.mode.lower() == "export":
         # serialize the restored eval step (weights baked in) as a
         # self-contained StableHLO serving artifact (vslnet_tpu/export.py)

@@ -236,3 +236,28 @@ def test_full_model_forward_shapes(predictor):
     # masked positions are -1e30
     assert float(out["start_logits"][1, 12]) < -1e29
     assert np.isfinite(np.asarray(out["start_logits"][0])).all()
+
+
+def test_decode_span_topk_matches_bruteforce():
+    """Top-k banded cells vs numpy brute force; k=1 == decode_span."""
+    from vslnet_tpu.models.losses import decode_span_topk
+
+    rng = np.random.default_rng(7)
+    sl = rng.standard_normal((3, 9)).astype(np.float32)
+    el = rng.standard_normal((3, 9)).astype(np.float32)
+    k = 4
+    s_idx, e_idx, score = decode_span_topk(jnp.asarray(sl), jnp.asarray(el), k)
+    s_idx, e_idx, score = map(np.asarray, (s_idx, e_idx, score))
+    sp = np.exp(sl) / np.exp(sl).sum(axis=1, keepdims=True)
+    ep = np.exp(el) / np.exp(el).sum(axis=1, keepdims=True)
+    for b in range(3):
+        outer = np.triu(sp[b][:, None] * ep[b][None, :])
+        flat = outer.reshape(-1)
+        best = np.argsort(-flat)[:k]
+        np.testing.assert_array_equal(s_idx[b], best // 9)
+        np.testing.assert_array_equal(e_idx[b], best % 9)
+        np.testing.assert_allclose(score[b], flat[best], rtol=1e-6)
+        assert (s_idx[b] <= e_idx[b]).all()  # band respected
+    _, _, s1, e1 = decode_span(jnp.asarray(sl), jnp.asarray(el))
+    np.testing.assert_array_equal(np.asarray(s1), s_idx[:, 0])
+    np.testing.assert_array_equal(np.asarray(e1), e_idx[:, 0])

@@ -267,6 +267,14 @@ def test_localizer_serving_api(tmp_path):
     # single-request path agrees with batch path
     st1, et1 = loc.localize(*requests[0])
     assert (st1, et1) == spans[0]
+    # top-k serving: k spans, descending probability, best == argmax decode
+    topk = loc.localize(*requests[0], top_k=3)
+    assert len(topk) == 3
+    probs = [p for _, _, p in topk]
+    assert probs == sorted(probs, reverse=True)
+    for st, et, p in topk:
+        assert 0.0 <= st <= et and 0.0 < p <= 1.0
+    assert (topk[0][0], topk[0][1]) == spans[0]
 
 
 def test_remat_matches_no_remat(tmp_path):

@@ -102,6 +102,9 @@ class Config:
     duration: Optional[float] = None   # --mode predict: video duration in
     #                                    seconds (required when the vid has
     #                                    no annotation record to read it from)
+    top_k: int = 1                     # --mode predict: return the k best
+    #   spans (banded start x end probability, descending) instead of the
+    #   single argmax span
     export_path: Optional[str] = None  # --mode export: output artifact path
     #   (serialized StableHLO eval step with weights baked in; vslnet_tpu/
     #   export.py). Default: <home_dir>/model/exported.vslx

@@ -60,6 +60,23 @@ def decode_span(start_logits, end_logits):
     return start_prob, end_prob, start_index, end_index
 
 
+def decode_span_topk(start_logits, end_logits, k):
+    """Top-k joint spans by the same banded start x end probability that
+    decode_span argmaxes (serving surface; the reference decodes top-1
+    only, model/layers.py:279-284). Returns (start_idx [B,k], end_idx
+    [B,k], score [B,k]) sorted by descending cell probability; k=1
+    reproduces decode_span's indices (same global-max cell)."""
+    start_prob = jax.nn.softmax(start_logits.astype(jnp.float32), axis=1)
+    end_prob = jax.nn.softmax(end_logits.astype(jnp.float32), axis=1)
+    outer = start_prob[:, :, None] * end_prob[:, None, :]
+    T = outer.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    outer = jnp.where(row <= col, outer, 0.0)
+    score, idx = jax.lax.top_k(outer.reshape(-1, T * T), k)
+    return idx // T, idx % T, score
+
+
 def l2_regularization(params, scale, predicate):
     """Sum of scale * ||w||^2 over params selected by predicate(path_tuple).
 

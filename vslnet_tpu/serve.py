@@ -33,6 +33,7 @@ class Localizer:
         self.word_dict = word_dict
         self.char_dict = char_dict
         self.configs = runner.configs
+        self._topk_steps = {}  # k -> jitted forward + decode_span_topk
         self._tokenizer = None
         if self.configs.text_encoder == "bert" and self.configs.bert_path:
             import os
@@ -79,9 +80,35 @@ class Localizer:
                 char_ids[i, j] = self.char_dict.get(c, unk_c)
         return word_ids, char_ids
 
-    def localize_batch(self, requests):
+    def _topk_step(self, k):
+        """Jitted forward + banded top-k decode, cached per k (each k is a
+        distinct static shape -> its own compile)."""
+        if k not in self._topk_steps:
+            import jax
+
+            from vslnet_tpu.models.losses import decode_span_topk
+
+            model = self.runner.model
+
+            def step(params, frozen, batch):
+                out = model.apply(
+                    {"params": params, "frozen": frozen},
+                    batch["word_ids"], batch["char_ids"],
+                    batch["vfeats"], batch["v_len"],
+                    drop_rate=0.0, deterministic=True,
+                )
+                return decode_span_topk(
+                    out["start_logits"], out["end_logits"], k
+                )
+
+            self._topk_steps[k] = jax.jit(step)
+        return self._topk_steps[k]
+
+    def localize_batch(self, requests, top_k=None):
         """requests: list of (video_features [L, D], duration, sentence).
-        Returns list of (start_seconds, end_seconds)."""
+        Returns list of (start_seconds, end_seconds); with top_k=k, a list
+        of k (start_seconds, end_seconds, probability) per request instead
+        (descending probability — the reference only ever decodes top-1)."""
         from vslnet_tpu.parallel.mesh import shard_batch
 
         cfg = self.configs
@@ -112,17 +139,38 @@ class Localizer:
                  "char_ids": char_ids},
                 self.runner.mesh,
             )
-            s_idx, e_idx = self.runner.eval_step(
-                self.runner.params, self.runner.frozen, batch
-            )
-            s_idx = np.asarray(s_idx)[:k]
-            e_idx = np.asarray(e_idx)[:k]
-            for row in range(k):
-                L, duration = lens[row]
-                st, et = index_to_time(int(s_idx[row]), int(e_idx[row]), L,
-                                       duration)
-                out.append((float(st), float(et)))
+            if top_k is None:
+                s_idx, e_idx = self.runner.eval_step(
+                    self.runner.params, self.runner.frozen, batch
+                )
+                s_idx = np.asarray(s_idx)[:k]
+                e_idx = np.asarray(e_idx)[:k]
+                for row in range(k):
+                    L, duration = lens[row]
+                    st, et = index_to_time(int(s_idx[row]), int(e_idx[row]),
+                                           L, duration)
+                    out.append((float(st), float(et)))
+            else:
+                s_idx, e_idx, score = self._topk_step(int(top_k))(
+                    self.runner.params, self.runner.frozen, batch
+                )
+                s_idx = np.asarray(s_idx)[:k]
+                e_idx = np.asarray(e_idx)[:k]
+                score = np.asarray(score)[:k]
+                for row in range(k):
+                    L, duration = lens[row]
+                    spans = []
+                    for j in range(int(top_k)):
+                        st, et = index_to_time(
+                            int(s_idx[row, j]), int(e_idx[row, j]), L,
+                            duration,
+                        )
+                        spans.append((float(st), float(et),
+                                      float(score[row, j])))
+                    out.append(spans)
         return out
 
-    def localize(self, video_features, duration, sentence):
-        return self.localize_batch([(video_features, duration, sentence)])[0]
+    def localize(self, video_features, duration, sentence, top_k=None):
+        return self.localize_batch(
+            [(video_features, duration, sentence)], top_k=top_k
+        )[0]
