@@ -463,3 +463,48 @@ def test_fused_eval_matches_per_batch(tmp_path):
     batched = runner.evaluate(mode="test")
     assert fused[:4] == batched[:4]
     assert fused[5] == batched[5]  # identical eval_results.txt line
+
+
+def test_ema_decay_tracks_and_evaluates(tmp_path):
+    """--ema_decay: the optimizer state carries ema <- d*ema + (1-d)*params
+    per step (pinned vs a manual recurrence), eval_params returns the
+    averaged tree, and evaluation runs with it."""
+    from vslnet_tpu.train.optim import extract_ema
+
+    cfg = tiny_configs(tmp_path, ema_decay=0.9, fused_steps="off")
+    dataset, feats = tiny_data(cfg, seed=4)
+    r = Runner(cfg, dataset, feats, mesh=make_mesh(1))
+    ema_manual = jax.tree.map(np.asarray, r.params)
+    params, opt_state = r.params, r.opt_state
+    for s, (_, batch) in zip(range(3), r.train_loader.batch_iter()):
+        params, opt_state, _ = r.train_step(
+            params, r.frozen, opt_state, batch, r.rng, s
+        )
+        p_np = jax.tree.map(np.asarray, params)
+        ema_manual = jax.tree.map(
+            lambda e, p: 0.9 * e + 0.1 * p, ema_manual, p_np
+        )
+    ema = jax.tree.map(np.asarray, extract_ema(opt_state))
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7),
+        ema, ema_manual,
+    )
+    # eval_params routes evaluation through the averaged weights...
+    r.params, r.opt_state = params, opt_state
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), b),
+        r.eval_params, ema,
+    )
+    # ...and they differ from the live weights after 3 update steps
+    assert any(
+        jax.tree.leaves(jax.tree.map(
+            lambda a, b: bool((np.asarray(a) != np.asarray(b)).any()),
+            r.eval_params, r.params,
+        ))
+    )
+    r1i3, _, _, mi, _, _ = r.evaluate(mode="test")
+    assert np.isfinite(mi)
+    # ema off -> eval_params IS params
+    cfg2 = tiny_configs(tmp_path / "off", fused_steps="off")
+    r2 = Runner(cfg2, dataset, feats, mesh=make_mesh(1))
+    assert r2.eval_params is r2.params

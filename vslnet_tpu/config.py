@@ -117,6 +117,10 @@ class Config:
     #   per-output-channel; embedding tables: per-row), dequantized
     #   in-graph at load. ~4x smaller artifact; compute stays fp32.
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
+    ema_decay: float = 0.0             # >0: keep an exponential moving
+    #   average of the weights (ema <- d*ema + (1-d)*params each step,
+    #   stored in the optimizer state so it checkpoints/resumes) and
+    #   evaluate/test/serve with the averaged weights. 0 disables.
     nan_guard: bool = False            # skip any optimizer update whose loss
     #   or global grad norm is non-finite: params + opt state keep their
     #   previous values and the skip is counted (train/nan_skips) — a

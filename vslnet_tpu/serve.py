@@ -141,7 +141,7 @@ class Localizer:
             )
             if top_k is None:
                 s_idx, e_idx = self.runner.eval_step(
-                    self.runner.params, self.runner.frozen, batch
+                    self.runner.eval_params, self.runner.frozen, batch
                 )
                 s_idx = np.asarray(s_idx)[:k]
                 e_idx = np.asarray(e_idx)[:k]
@@ -152,7 +152,7 @@ class Localizer:
                     out.append((float(st), float(et)))
             else:
                 s_idx, e_idx, score = self._topk_step(int(top_k))(
-                    self.runner.params, self.runner.frozen, batch
+                    self.runner.eval_params, self.runner.frozen, batch
                 )
                 s_idx = np.asarray(s_idx)[:k]
                 e_idx = np.asarray(e_idx)[:k]

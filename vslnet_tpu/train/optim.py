@@ -73,6 +73,46 @@ def no_decay_mask(params):
     return jax.tree_util.tree_unflatten(flat[1], [d for _, d in leaves])
 
 
+class EmaState(NamedTuple):
+    ema: optax.Params
+
+
+def ema_of_params(decay):
+    """Track an exponential moving average of the PARAMETERS inside the
+    optimizer state: ema <- decay*ema + (1-decay)*new_params after every
+    update. Transparent to the update chain; lives in opt_state so
+    checkpoints/resume/nan_guard skip semantics all apply for free.
+    (Net-new production knob — the reference has no weight averaging.)"""
+
+    def init_fn(params):
+        # genuine copies, not aliases: train_step donates BOTH params and
+        # opt_state, and a shared buffer would be donated twice on step 0
+        return EmaState(
+            ema=jax.tree.map(lambda p: jnp.array(p, copy=True), params)
+        )
+
+    def update_fn(updates, state, params=None):
+        new_params = optax.apply_updates(params, updates)
+        ema = jax.tree.map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema, new_params,
+        )
+        return updates, EmaState(ema=ema)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def extract_ema(opt_state):
+    """Pull the EMA param tree out of a chained optimizer state; None if
+    the chain has no ema_of_params stage."""
+    for s in jax.tree.leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, EmaState)
+    ):
+        if isinstance(s, EmaState):
+            return s.ema
+    return None
+
+
 def make_optimizer(configs):
     if configs.warmup_proportion > 1.0:
         num_warmup_steps = int(configs.warmup_proportion)
@@ -88,10 +128,20 @@ def make_optimizer(configs):
         adam = scale_by_adam_no_bias_correction(b1=0.9, b2=0.999, eps=1e-6)
     else:
         raise ValueError("Unknown optimizer %s (use bert_adamw | adamw)" % kind)
-    tx = optax.chain(
+    stages = [
         optax.clip_by_global_norm(configs.clip_norm),
         adam,
         optax.add_decayed_weights(0.01, mask=no_decay_mask),
         optax.scale_by_learning_rate(schedule),  # scales by -lr
-    )
+    ]
+    ema_decay = float(getattr(configs, "ema_decay", 0.0) or 0.0)
+    if ema_decay:
+        if not 0.0 < ema_decay < 1.0:
+            raise ValueError(
+                "ema_decay must be in (0, 1), got %r" % ema_decay
+            )
+        # last stage: sees the final (post-lr) updates, so its
+        # params+updates equals the actually-applied new params
+        stages.append(ema_of_params(ema_decay))
+    tx = optax.chain(*stages)
     return tx, schedule

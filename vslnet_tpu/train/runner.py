@@ -642,6 +642,19 @@ class Runner:
             split = self.eval_split_dev.get("test")
         return self._eval_step(params, frozen, batch, bank=bank, split=split)
 
+    @property
+    def eval_params(self):
+        """Params used for evaluation: the EMA shadow weights when
+        --ema_decay is set (pulled from the optimizer state, so they
+        survive checkpoints/resume), else the live params."""
+        if float(getattr(self.configs, "ema_decay", 0.0) or 0.0):
+            from vslnet_tpu.train.optim import extract_ema
+
+            ema = extract_ema(self.opt_state)
+            if ema is not None:
+                return ema
+        return self.params
+
     def evaluate(self, mode="test", epoch=None, global_step=None):
         if self._eval_many is not None:
             # whole split in ONE dispatch: scan the eval step over the
@@ -659,7 +672,7 @@ class Runner:
                 self.test_loader.eval_idxs(mode), self.mesh, P(None, "data")
             )
             starts, ends = self._eval_many(
-                self.params, self.frozen, ids,
+                self.eval_params, self.frozen, ids,
                 bank=self.eval_bank, split=self.eval_split_dev[mode],
             )
             starts = np.asarray(starts).reshape(-1)[: split.n]
@@ -668,7 +681,7 @@ class Runner:
             return summarize_ious(ious, mode=mode, epoch=epoch,
                                   global_step=global_step)
         return eval_test(
-            self.eval_step, self.params, self.frozen, self.test_loader,
+            self.eval_step, self.eval_params, self.frozen, self.test_loader,
             mesh=self.eval_mesh, epoch=epoch, global_step=global_step,
             mode=mode, bank=self.eval_bank,
             split=self.eval_split_dev.get(mode),
