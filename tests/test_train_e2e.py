@@ -508,3 +508,29 @@ def test_ema_decay_tracks_and_evaluates(tmp_path):
     cfg2 = tiny_configs(tmp_path / "off", fused_steps="off")
     r2 = Runner(cfg2, dataset, feats, mesh=make_mesh(1))
     assert r2.eval_params is r2.params
+
+
+@pytest.mark.parametrize("fused", ["auto", "off"])
+def test_patience_early_stops(tmp_path, fused):
+    """--patience N ends training after N consecutive evals without a new
+    best R1@0.7, in both the fused-chunk and per-step loops. init_lr=0
+    makes every eval identical, so the stop point is deterministic: eval 1
+    sets the best, eval 2 triggers patience=1."""
+    cfg = tiny_configs(
+        tmp_path / fused, epochs=6, patience=1, init_lr=0.0,
+        fused_steps=fused,
+    )
+    dataset, feats = tiny_data(cfg, seed=5)
+    r = Runner(cfg, dataset, feats)
+    eval_period = max(1, r.train_loader.num_batches() // 2)
+    res = r.train(verbose=False)
+    assert res["stopped_early"]
+    assert res["global_step"] == 2 * eval_period
+    assert res["global_step"] < cfg.num_train_steps
+    # patience=0 (default) trains the full budget
+    cfg0 = tiny_configs(tmp_path / ("full_" + fused), epochs=2,
+                        init_lr=0.0, fused_steps=fused)
+    r0 = Runner(cfg0, dataset, feats)
+    res0 = r0.train(verbose=False)
+    assert not res0["stopped_early"]
+    assert res0["global_step"] == cfg0.num_train_steps

@@ -117,6 +117,9 @@ class Config:
     #   per-output-channel; embedding tables: per-row), dequantized
     #   in-graph at load. ~4x smaller artifact; compute stays fp32.
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
+    patience: int = 0                  # >0: stop training after this many
+    #   consecutive evaluations without a new best R1@0.7 (early stopping;
+    #   0 trains the reference's full epochs x batches step budget)
     ema_decay: float = 0.0             # >0: keep an exponential moving
     #   average of the weights (ema <- d*ema + (1-d)*params each step,
     #   stored in the optimizer state so it checkpoints/resumes) and

@@ -743,6 +743,11 @@ class Runner:
         # period boundaries so the guard never adds per-step syncs
         nan_skips = 0
         pending_skips = []
+        # --patience: stop after N consecutive evaluations without a new
+        # best R1@0.7 (0 = train the reference's full step budget)
+        patience = int(getattr(configs, "patience", 0) or 0)
+        stop_early = False
+        evals_since_best = 0
 
         def drain_skips():
             nonlocal nan_skips
@@ -782,7 +787,7 @@ class Runner:
                     )
 
             def maybe_eval(epoch):
-                nonlocal best_r1i7
+                nonlocal best_r1i7, stop_early, evals_since_best
                 if not (global_step % eval_period == 0
                         or global_step % num_train_batches == 0):
                     return
@@ -802,12 +807,26 @@ class Runner:
                 score_writer.flush()
                 if r1i7 > best_r1i7:
                     best_r1i7 = r1i7
+                    evals_since_best = 0
                     ckpt.save(
                         global_step, self.params, self.opt_state,
                         extra={"r1i7": r1i7, "step": global_step},
                     )
+                else:
+                    # --patience: every host computes identical metrics
+                    # (replicated eval), so this decision cannot diverge
+                    # across processes
+                    evals_since_best += 1
+                    if patience and evals_since_best >= patience:
+                        stop_early = True
+                        if verbose:
+                            print(
+                                "early stop: no R1@0.7 improvement in the "
+                                "last %d evaluations" % patience,
+                                flush=True,
+                            )
 
-            while global_step < target_steps and fused:
+            while global_step < target_steps and fused and not stop_early:
                 epoch = global_step // num_train_batches
                 # [nb, B]: batch axis sharded over 'data' exactly like the
                 # per-step path's shard_batch; step axis replicated. The id
@@ -821,7 +840,8 @@ class Runner:
                     self.train_loader.epoch_idxs(), self.mesh, P(None, "data")
                 )
                 nb, pos = epoch_ids.shape[0], 0
-                while pos < nb and global_step < target_steps:
+                while (pos < nb and global_step < target_steps
+                       and not stop_early):
                     # chunk up to the next boundary the host must act at:
                     # eval cadence, the %num_train_batches eval mark, the
                     # step budget, or this epoch's remaining batches
@@ -853,11 +873,11 @@ class Runner:
                     global_step, pos = stop, pos + k
                     maybe_eval(epoch)
 
-            while global_step < target_steps:
+            while global_step < target_steps and not stop_early:
                 epoch = global_step // num_train_batches
                 for _, batch in prefetch_to_device(
                         self.train_loader.batch_iter(), self.mesh):
-                    if global_step >= target_steps:
+                    if global_step >= target_steps or stop_early:
                         break
                     if global_step == profile_start:
                         jax.profiler.start_trace(
@@ -908,6 +928,7 @@ class Runner:
             "global_step": global_step,
             "train_time_s": elapsed,
             "nan_skips": nan_skips,
+            "stopped_early": stop_early,
         }
 
     def _restore_from(self, ckpt):
