@@ -187,3 +187,39 @@ def test_export_quantize_rejects_unknown_mode(tmp_path):
         assert "export_quantize" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_export_bakes_ema_weights(tmp_path):
+    """Under --ema_decay the artifact must bake the EMA shadow weights —
+    the same tree evaluation/serving use — not the live params."""
+    import dataclasses
+
+    from vslnet_tpu.parallel.mesh import shard_batch
+
+    runner = _tiny_runner(tmp_path, ema_decay=0.9)
+    # one update step so ema != params
+    _, batch = next(iter(runner.train_loader.batch_iter()))
+    batch = shard_batch(batch, runner.mesh)
+    runner.params, runner.opt_state, _ = runner.train_step(
+        runner.params, runner.frozen, runner.opt_state, batch, runner.rng, 0
+    )
+    path = str(tmp_path / "m.vslx")
+    export_artifact(runner, path, platforms=("cpu",))
+    fn = load_artifact(path)
+    rng = np.random.default_rng(0)
+    B, T, D = 4, 16, 12
+    W, C = runner.train_loader.max_w, runner.train_loader.max_c
+    args = (
+        rng.standard_normal((B, T, D)).astype(np.float32),
+        rng.integers(1, T + 1, size=(B,)).astype(np.int32),
+        rng.integers(0, 40, size=(B, W)).astype(np.int32),
+        rng.integers(0, 12, size=(B, W, C)).astype(np.int32),
+    )
+    s_art, _ = fn(*args)
+    eb = {"vfeats": args[0], "v_len": args[1], "word_ids": args[2],
+          "char_ids": args[3]}
+    s_ema, _ = jax.jit(
+        lambda p, f, b: _eval_compute(runner.model, False, p, f, b,
+                                      None, None)
+    )(runner.eval_params, runner.frozen, eb)
+    np.testing.assert_array_equal(np.asarray(s_art), np.asarray(s_ema))

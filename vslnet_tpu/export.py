@@ -109,10 +109,12 @@ def _eval_fn(runner):
     cfg = dataclasses.replace(runner.configs, use_pallas="off")
     model = build_model(cfg, runner.dataset["word_vector"].shape)
     quant = getattr(runner.configs, "export_quantize", "off")
+    # eval_params = the weights evaluation/serving actually use (the EMA
+    # shadow tree under --ema_decay, live params otherwise).
     # kernels quantize per-output-channel (last axis); the frozen GloVe
     # table — the dominant constant at real vocab sizes — per-row (axis 0)
     params = _compress_tree(
-        jax.tree.map(np.asarray, runner.params), quant, keep_axis=-1
+        jax.tree.map(np.asarray, runner.eval_params), quant, keep_axis=-1
     )
     frozen = _compress_tree(
         jax.tree.map(np.asarray, runner.frozen), quant, keep_axis=0
