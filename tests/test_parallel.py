@@ -384,3 +384,53 @@ def test_two_process_multihost_smoke(tmp_path):
     # identical global loss and metrics on both hosts (strip the pid field)
     payloads = {r.split("loss=", 1)[1] for r in results}
     assert len(payloads) == 1, results
+
+
+def test_ema_shards_like_params_under_tp(tmp_path):
+    """--ema_decay under tensor parallelism: the EMA shadow tree lives in
+    the optimizer state, so shard_params must column-shard it exactly like
+    the params it mirrors (shape-based placement), and a train step must
+    keep it finite."""
+    from vslnet_tpu.config import Config
+    from vslnet_tpu.data.synthetic import synthetic_dataset
+    from vslnet_tpu.parallel.mesh import shard_batch
+    from vslnet_tpu.train.optim import extract_ema
+    from vslnet_tpu.train.runner import Runner
+
+    c = Config(
+        batch_size=8, max_pos_len=16, video_feature_dim=12,
+        hidden_size=16, char_dim=4, word_dim=8, num_heads=4, epochs=1,
+        predictor="transformer", ema_decay=0.9,
+        model_dir=str(tmp_path / "ckpt"), save_dir=str(tmp_path / "d"),
+        log_to_tensorboard=False,
+    )
+    dataset, feats = synthetic_dataset(
+        n_train=16, n_test=8, n_videos=4, n_words=40, n_chars=12,
+        max_pos_len=16, video_feature_dim=12, word_dim=8, min_video_len=4,
+        seed=0,
+    )
+    r = Runner(c, dataset, feats, mesh=make_mesh(4, None, 2))
+    ema = extract_ema(r.opt_state)
+    assert ema is not None
+    mismatched = [
+        path for (path, p), (_, e) in zip(
+            jax.tree_util.tree_flatten_with_path(r.params)[0],
+            jax.tree_util.tree_flatten_with_path(ema)[0],
+        )
+        if p.sharding != e.sharding
+    ]
+    assert not mismatched, mismatched
+    # at least one kernel is actually column-sharded over 'model'
+    assert any(
+        "model" in str(e.sharding.spec) for e in jax.tree.leaves(ema)
+    )
+    _, batch = next(iter(r.train_loader.batch_iter()))
+    params, opt_state, m = r.train_step(
+        r.params, r.frozen, r.opt_state, shard_batch(batch, r.mesh),
+        r.rng, 0,
+    )
+    assert np.isfinite(float(m["loss"]))
+    ema2 = extract_ema(opt_state)
+    assert all(
+        np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(ema2)
+    )
