@@ -178,3 +178,31 @@ def test_unknown_optimizer_raises():
 
     with pytest.raises(ValueError):
         make_optimizer(Cfg)
+
+
+def test_lr_schedule_cosine_and_constant():
+    """Net-new decay shapes share the reference's warmup exactly."""
+    import numpy as np
+
+    n, w, lr = 100, 10, 1e-3
+    cos = lr_schedule(lr, n, w, kind="cosine")
+    const = lr_schedule(lr, n, w, kind="constant")
+    lin = lr_schedule(lr, n, w, kind="linear")
+    # identical warmup ramp
+    for s in (0, 3, 9):
+        assert float(cos(s)) == float(lin(s)) == float(const(s))
+    # cosine: lr at warmup end, half at midpoint of the decay span, ~0 at n
+    np.testing.assert_allclose(float(cos(w)), lr, rtol=1e-6)
+    np.testing.assert_allclose(
+        float(cos(w + (n - w) / 2)), lr / 2, rtol=1e-5
+    )
+    np.testing.assert_allclose(float(cos(n)), 0.0, atol=1e-10)
+    assert float(cos(n + 50)) == float(cos(n))  # clipped past the budget
+    # constant holds after warmup (fp32 value of lr)
+    assert float(const(w)) == float(const(n)) == float(np.float32(lr))
+    try:
+        lr_schedule(lr, n, w, kind="cyclic")(0)
+    except ValueError as e:
+        assert "lr_schedule" in str(e)
+    else:
+        raise AssertionError("expected ValueError")

@@ -117,6 +117,8 @@ class Config:
     #   per-output-channel; embedding tables: per-row), dequantized
     #   in-graph at load. ~4x smaller artifact; compute stays fp32.
     profile_steps: int = 0             # capture a jax.profiler trace of N steps
+    lr_schedule: str = "linear"        # [linear | cosine | constant] decay
+    #   after warmup; linear is the reference's polynomial-p=1 decay to 0
     patience: int = 0                  # >0: stop training after this many
     #   consecutive evaluations without a new best R1@0.7 (early stopping;
     #   0 trains the reference's full epochs x batches step budget)

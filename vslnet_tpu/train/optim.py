@@ -18,11 +18,29 @@ import jax.numpy as jnp
 import optax
 
 
-def lr_schedule(init_lr, num_train_steps, num_warmup_steps):
+def lr_schedule(init_lr, num_train_steps, num_warmup_steps, kind="linear"):
+    """Reference schedule (kind="linear"): linear warmup then linear
+    (polynomial p=1) decay to 0 at the PRE-increment step (model/ops.py:
+    65-91). Net-new alternatives share the same warmup: "cosine" decays
+    init_lr * 0.5*(1+cos(pi*t)) over the post-warmup fraction t; and
+    "constant" holds init_lr after warmup."""
+
     def schedule(step):
         step_f = jnp.asarray(step, jnp.float32)
         n = float(num_train_steps)
-        decayed = init_lr * (1.0 - jnp.minimum(step_f, n) / n)
+        if kind == "linear":
+            decayed = init_lr * (1.0 - jnp.minimum(step_f, n) / n)
+        elif kind == "cosine":
+            w = float(num_warmup_steps or 0)
+            t = jnp.clip((step_f - w) / jnp.maximum(n - w, 1.0), 0.0, 1.0)
+            decayed = init_lr * 0.5 * (1.0 + jnp.cos(jnp.pi * t))
+        elif kind == "constant":
+            decayed = jnp.full_like(step_f, init_lr)
+        else:
+            raise ValueError(
+                "Unknown lr_schedule %r (use linear | cosine | constant)"
+                % kind
+            )
         if num_warmup_steps:
             w = float(num_warmup_steps)
             warmup_lr = init_lr * step_f / w
@@ -118,7 +136,10 @@ def make_optimizer(configs):
         num_warmup_steps = int(configs.warmup_proportion)
     else:
         num_warmup_steps = int(configs.num_train_steps * configs.warmup_proportion)
-    schedule = lr_schedule(configs.init_lr, configs.num_train_steps, num_warmup_steps)
+    schedule = lr_schedule(
+        configs.init_lr, configs.num_train_steps, num_warmup_steps,
+        kind=getattr(configs, "lr_schedule", "linear"),
+    )
     kind = getattr(configs, "optimizer", "bert_adamw")
     if kind == "adamw":
         # torch-dialect recipe (model/VSLNet_t7.py:8-17): HF AdamW, i.e.
