@@ -84,58 +84,100 @@ def main(argv=None):
     elif configs.mode.lower() == "test":
         runner.test()
     elif configs.mode.lower() == "predict":
-        if not configs.query or not configs.vid:
-            raise ValueError("--mode predict requires --query and --vid")
-        if configs.vid not in visual_features:
-            raise ValueError("No features for video {}".format(configs.vid))
-        from vslnet_tpu.serve import Localizer
-
-        runner.restore()
-        loc = Localizer(runner, dataset["word_dict"], dataset["char_dict"])
-        feats = visual_features[configs.vid]
-        # duration (seconds): --duration wins; else look it up from any
-        # annotation record of this vid. No silent fallback — a guessed
-        # duration scales the decoded span wrong (util/data_util.py:109-114
-        # decode contract), so an unknown vid without --duration is an error.
-        duration = configs.duration
-        if duration is None:
-            for split in ("test_set", "val_set", "train_set"):
-                for rec in dataset.get(split) or []:
-                    if rec["vid"] == configs.vid:
-                        duration = rec["duration"]
-                        break
-                if duration is not None:
-                    break
-        if duration is None:
-            raise ValueError(
-                "Video {} has no annotation record to read its duration "
-                "from; pass --duration <seconds>".format(configs.vid)
-            )
         import json
 
-        if configs.top_k > 1:
-            spans = loc.localize(feats, duration, configs.query,
-                                 top_k=configs.top_k)
-            print(
-                json.dumps(
-                    {"vid": configs.vid, "query": configs.query,
+        from vslnet_tpu.serve import Localizer
+
+        def check_vid(vid):
+            if vid not in visual_features:
+                raise ValueError("No features for video {}".format(vid))
+
+        def lookup_duration(vid, explicit):
+            # duration (seconds): explicit wins; else look it up from any
+            # annotation record of this vid. No silent fallback — a guessed
+            # duration scales the decoded span wrong (util/data_util.py:
+            # 109-114 decode contract), so it is an error.
+            if explicit is not None:
+                return explicit
+            for split in ("test_set", "val_set", "train_set"):
+                for rec in dataset.get(split) or []:
+                    if rec["vid"] == vid:
+                        return rec["duration"]
+            raise ValueError(
+                "Video {} has no annotation record to read its duration "
+                "from; pass --duration <seconds> (or a 'duration' field "
+                "in --queries_file)".format(vid)
+            )
+
+        k = configs.top_k if configs.top_k > 1 else None
+
+        def result_line(vid, query, res):
+            if k:
+                return json.dumps(
+                    {"vid": vid, "query": query,
                      "spans": [
                          {"start": round(s, 3), "end": round(e, 3),
                           "prob": round(p, 6)}
-                         for s, e, p in spans
+                         for s, e, p in res
                      ]}
-                ),
-                flush=True,
+                )
+            return json.dumps(
+                {"vid": vid, "query": query,
+                 "start": round(res[0], 3), "end": round(res[1], 3)}
             )
+
+        if not configs.queries_file and (
+                not configs.query or not configs.vid):
+            raise ValueError(
+                "--mode predict requires --query and --vid "
+                "(or --queries_file for batch inference)"
+            )
+        runner.restore()
+        loc = Localizer(runner, dataset["word_dict"], dataset["char_dict"])
+        if configs.queries_file:
+            # batch inference: JSONL in ({"vid", "query", "duration"?}),
+            # one prediction JSON line out per request, batched through
+            # the compiled eval step batch_size rows at a time
+            meta = []
+            with open(configs.queries_file, encoding="utf-8") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    vid, query = rec["vid"], rec["query"]
+                    check_vid(vid)
+                    meta.append(
+                        (vid, query, lookup_duration(vid,
+                                                     rec.get("duration")))
+                    )
+            results = loc.localize_batch(
+                [(visual_features[v], d, q) for v, q, d in meta], top_k=k
+            )
+            lines = [
+                result_line(vid, query, res)
+                for (vid, query, _), res in zip(meta, results)
+            ]
+            if configs.predictions_out:
+                with open(configs.predictions_out, "w",
+                          encoding="utf-8") as f:
+                    f.write("\n".join(lines) + "\n")
+                print(
+                    json.dumps({"predictions_out": configs.predictions_out,
+                                "n": len(lines)}),
+                    flush=True,
+                )
+            else:
+                for line in lines:
+                    print(line, flush=True)
         else:
-            start_s, end_s = loc.localize(feats, duration, configs.query)
-            print(
-                json.dumps(
-                    {"vid": configs.vid, "query": configs.query,
-                     "start": round(start_s, 3), "end": round(end_s, 3)}
-                ),
-                flush=True,
+            check_vid(configs.vid)
+            duration = lookup_duration(configs.vid, configs.duration)
+            res = loc.localize(
+                visual_features[configs.vid], duration, configs.query,
+                top_k=k,
             )
+            print(result_line(configs.vid, configs.query, res), flush=True)
     elif configs.mode.lower() == "export":
         # serialize the restored eval step (weights baked in) as a
         # self-contained StableHLO serving artifact (vslnet_tpu/export.py)

@@ -381,3 +381,45 @@ def test_honor_jax_platforms_env(monkeypatch):
         assert jax.config.jax_platforms == "axon,cpu"
     finally:
         jax.config.update("jax_platforms", before or None)
+
+
+def test_cli_batch_predict_queries_file(tmp_path, data_root, capsys):
+    """--queries_file: JSONL batch inference through one compiled eval
+    step; per-line duration override, --predictions_out file sink, and
+    --top_k composition."""
+    cli.main(_args(data_root, tmp_path, "--mode", "train"))
+    capsys.readouterr()
+    qf = tmp_path / "queries.jsonl"
+    qf.write_text(
+        json.dumps({"vid": "VID01", "query": "a person opens the door"})
+        + "\n\n"  # blank lines skipped
+        + json.dumps({"vid": "VID99", "query": "a person", "duration": 40.0})
+        + "\n"
+    )
+    cli.main(_args(data_root, tmp_path, "--mode", "predict",
+                   "--queries_file", str(qf)))
+    lines = [
+        json.loads(ln)
+        for ln in capsys.readouterr().out.strip().splitlines()
+        if ln.startswith("{")
+    ]
+    assert lines[-2]["vid"] == "VID01" and lines[-1]["vid"] == "VID99"
+    assert 0.0 <= lines[-1]["start"] <= lines[-1]["end"] <= 40.0 + 1e-6
+    # file sink + top-k spans
+    out = tmp_path / "preds.jsonl"
+    cli.main(_args(data_root, tmp_path, "--mode", "predict",
+                   "--queries_file", str(qf), "--top_k", "2",
+                   "--predictions_out", str(out)))
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["n"] == 2 and info["predictions_out"] == str(out)
+    recs = [json.loads(ln) for ln in out.read_text().splitlines()]
+    assert len(recs) == 2
+    assert all(len(r["spans"]) == 2 for r in recs)
+    probs = [s["prob"] for s in recs[0]["spans"]]
+    assert probs == sorted(probs, reverse=True)
+    # unknown vid in the file is an error, same as single predict
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(json.dumps({"vid": "NOPE", "query": "x"}) + "\n")
+    with pytest.raises(ValueError, match="No features for video"):
+        cli.main(_args(data_root, tmp_path, "--mode", "predict",
+                       "--queries_file", str(bad)))

@@ -105,6 +105,11 @@ class Config:
     top_k: int = 1                     # --mode predict: return the k best
     #   spans (banded start x end probability, descending) instead of the
     #   single argmax span
+    queries_file: Optional[str] = None  # --mode predict: batch inference —
+    #   JSONL input, one {"vid", "query", "duration"?} per line; emits one
+    #   prediction JSON line per request (respects --top_k)
+    predictions_out: Optional[str] = None  # --mode predict + --queries_file:
+    #   write prediction lines to this file instead of stdout
     export_path: Optional[str] = None  # --mode export: output artifact path
     #   (serialized StableHLO eval step with weights baked in; vslnet_tpu/
     #   export.py). Default: <home_dir>/model/exported.vslx
