@@ -45,9 +45,11 @@ def vocab_emb_gen(datasets, emb_path, use_native=True):
 
     With use_native (default), the 2x-full-file Python scan of the reference
     is replaced by ONE streaming pass through the native C++ scanner
-    (vslnet_tpu/native/glove_scan.cpp) — identical outputs, ~an order of
-    magnitude faster on glove.840B.300d.txt. Falls back to the Python path
-    when no C++ toolchain is available.
+    (vslnet_tpu/native/glove_scan.cpp) — identical outputs, measured 5.4x
+    faster end-to-end (scripts/bench_glove.py: 100k-line GloVe-format file,
+    12k candidates, 3.04s -> 0.56s; throughput is linear in file size, so
+    the ratio transfers to the real 2.2M-line glove.840B.300d.txt). Falls
+    back to the Python path when no C++ toolchain is available.
     """
     word_counter, char_counter = Counter(), Counter()
     for data in datasets:
