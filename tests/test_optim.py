@@ -206,3 +206,97 @@ def test_lr_schedule_cosine_and_constant():
         assert "lr_schedule" in str(e)
     else:
         raise AssertionError("expected ValueError")
+
+
+def test_grad_accum_matches_big_batch_math():
+    """grad_accum=N: N micro-updates equal ONE inner-chain step on the MEAN
+    micro-grad (so clipping/adam/decay see exactly what a N*B batch would
+    produce), mid-accumulation updates are exact zeros, and the lr schedule
+    advances once per commit — pinned by running a plain optimizer with
+    num_train_steps = micro_steps / N on the per-group mean grads."""
+
+    class CfgA:
+        clip_norm = 1e9
+        warmup_proportion = 0.0
+        num_train_steps = 8  # micro-steps (batches)
+        init_lr = 1e-2
+        grad_accum = 4
+
+    class CfgP:
+        clip_norm = 1e9
+        warmup_proportion = 0.0
+        num_train_steps = 2  # = 8 / 4 optimizer updates
+        init_lr = 1e-2
+
+    tx_a, _ = make_optimizer(CfgA)
+    tx_p, _ = make_optimizer(CfgP)
+    params0 = {"dense": {"kernel": jnp.array([1.0, -1.0]),
+                         "bias": jnp.array([0.5])}}
+    rng = np.random.RandomState(0)
+    micro = [
+        {"dense": {"kernel": jnp.asarray(rng.randn(2), jnp.float32),
+                   "bias": jnp.asarray(rng.randn(1), jnp.float32)}}
+        for _ in range(8)
+    ]
+
+    pa, sa = params0, tx_a.init(params0)
+    for i, g in enumerate(micro):
+        u, sa = tx_a.update(g, sa, pa)
+        if i % 4 != 3:  # mid-accumulation: exact zero updates
+            assert all(
+                not np.asarray(x).any() for x in jax.tree.leaves(u)
+            ), "non-zero update mid-accumulation at micro-step %d" % i
+        pa = optax.apply_updates(pa, u)
+
+    pp, sp = params0, tx_p.init(params0)
+    for k in range(2):
+        group = micro[4 * k : 4 * k + 4]
+        mean_g = jax.tree.map(
+            lambda *gs: jnp.mean(jnp.stack(gs), axis=0), *group
+        )
+        u, sp = tx_p.update(mean_g, sp, pp)
+        pp = optax.apply_updates(pp, u)
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-8
+        ),
+        pa, pp,
+    )
+
+
+def test_grad_accum_ema_commits_per_optimizer_step():
+    """With ema_decay + grad_accum, the EMA stage (inside the MultiSteps
+    inner chain) advances only when the accumulation commits: unchanged
+    after a mid-accumulation micro-step, one decay step after the commit."""
+    from vslnet_tpu.train.optim import extract_ema
+
+    class Cfg:
+        clip_norm = 1e9
+        warmup_proportion = 0.0
+        num_train_steps = 4
+        init_lr = 1e-2
+        grad_accum = 2
+        ema_decay = 0.5
+
+    tx, _ = make_optimizer(Cfg)
+    params0 = {"w": jnp.array([1.0, 2.0])}
+    state = tx.init(params0)
+    g = {"w": jnp.array([0.1, -0.2])}
+
+    u, state = tx.update(g, state, params0)
+    p1 = optax.apply_updates(params0, u)
+    np.testing.assert_array_equal(np.asarray(p1["w"]),
+                                  np.asarray(params0["w"]))
+    np.testing.assert_array_equal(  # no commit yet: ema == init copy
+        np.asarray(extract_ema(state)["w"]), np.asarray(params0["w"])
+    )
+
+    u, state = tx.update(g, state, p1)
+    p2 = optax.apply_updates(p1, u)
+    assert np.abs(np.asarray(p2["w"]) - np.asarray(p1["w"])).max() > 0
+    np.testing.assert_allclose(  # one commit: ema = d*ema0 + (1-d)*p2
+        np.asarray(extract_ema(state)["w"]),
+        0.5 * np.asarray(params0["w"]) + 0.5 * np.asarray(p2["w"]),
+        rtol=1e-6,
+    )

@@ -534,3 +534,34 @@ def test_patience_early_stops(tmp_path, fused):
     res0 = r0.train(verbose=False)
     assert not res0["stopped_early"]
     assert res0["global_step"] == cfg0.num_train_steps
+
+
+def test_grad_accum_trains_and_matches_fused(tmp_path):
+    """--grad_accum 2 through the full Runner: the per-step and fused
+    (lax.scan) trainers produce identical params and metrics — the
+    accumulator lives in opt_state, so the fused path needs no special
+    handling — and training still learns (params move, loss finite)."""
+    cfg_f = tiny_configs(tmp_path / "f", epochs=2, grad_accum=2)
+    cfg_o = tiny_configs(tmp_path / "o", epochs=2, grad_accum=2,
+                         fused_steps="off")
+    dataset, feats = tiny_data(cfg_f, seed=7)
+    r_f = Runner(cfg_f, dataset, feats)
+    r_o = Runner(cfg_o, dataset, feats)
+    assert r_f.use_fused_steps and not r_o.use_fused_steps
+    init = jax.tree.map(np.asarray, r_f.params)
+    res_f = r_f.train(verbose=False)
+    res_o = r_o.train(verbose=False)
+    assert res_f["global_step"] == res_o["global_step"]
+    assert res_f["best_r1i7"] == res_o["best_r1i7"]
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6
+        ),
+        r_f.params, r_o.params,
+    )
+    # commits actually happened: params moved from init
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        init, r_f.params,
+    )
+    assert max(jax.tree.leaves(moved)) > 0

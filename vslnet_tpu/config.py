@@ -80,6 +80,12 @@ class Config:
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
     fused_steps: str = "auto"          # [auto|off] lax.scan K train steps per
                                        # dispatch (device-resident data only)
+    grad_accum: int = 1                # accumulate gradients over N batches
+    #   per optimizer update (optax.MultiSteps): effective batch is
+    #   N*batch_size at per-batch activation memory. The lr schedule and
+    #   warmup advance per OPTIMIZER update (num_train_steps stays in
+    #   batches; an absolute warmup_proportion > 1.0 counts optimizer
+    #   updates). Composes with fused steps, nan_guard, ema, resume, tp.
     word_size: Optional[int] = None    # vocab cap (torch-ref main_t7.py flag)
     l2_decay: float = 3e-7             # kernel l2 regularization scale
     optimizer: str = "bert_adamw"      # [bert_adamw (TF ref) | adamw (t7 ref)]

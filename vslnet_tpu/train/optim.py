@@ -132,12 +132,19 @@ def extract_ema(opt_state):
 
 
 def make_optimizer(configs):
+    # With gradient accumulation the schedule advances once per OPTIMIZER
+    # update (optax.MultiSteps only commits the inner chain's state on the
+    # final micro-step), so its horizon is optimizer updates, not batches.
+    accum = int(getattr(configs, "grad_accum", 1) or 1)
+    if accum < 1:
+        raise ValueError("grad_accum must be >= 1, got %d" % accum)
+    num_opt_steps = -(-int(configs.num_train_steps) // accum)  # ceil
     if configs.warmup_proportion > 1.0:
         num_warmup_steps = int(configs.warmup_proportion)
     else:
-        num_warmup_steps = int(configs.num_train_steps * configs.warmup_proportion)
+        num_warmup_steps = int(num_opt_steps * configs.warmup_proportion)
     schedule = lr_schedule(
-        configs.init_lr, configs.num_train_steps, num_warmup_steps,
+        configs.init_lr, num_opt_steps, num_warmup_steps,
         kind=getattr(configs, "lr_schedule", "linear"),
     )
     kind = getattr(configs, "optimizer", "bert_adamw")
@@ -165,4 +172,16 @@ def make_optimizer(configs):
         # params+updates equals the actually-applied new params
         stages.append(ema_of_params(ema_decay))
     tx = optax.chain(*stages)
+    if accum > 1:
+        # Gradient accumulation: every train step feeds one micro-batch;
+        # MultiSteps keeps a running MEAN of the micro-grads in its state
+        # and only commits the inner chain (clip -> adam -> decay -> lr ->
+        # ema) every `accum`-th step — identical math to one step on the
+        # `accum`-x larger batch (clipping included: it sees the mean
+        # grad), with per-micro-batch activation memory. Composes with
+        # every existing path unchanged: the fused lax.scan trainer,
+        # nan_guard (a non-finite micro-grad rejects the whole state
+        # update, dropping that micro-batch), Orbax checkpoint/resume and
+        # tp sharding (the accumulator is just another opt-state leaf).
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx, schedule
