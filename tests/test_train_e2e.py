@@ -565,3 +565,44 @@ def test_grad_accum_trains_and_matches_fused(tmp_path):
         init, r_f.params,
     )
     assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_preempt_sigterm_saves_resumable_checkpoint(tmp_path):
+    """--on_preempt save (the default): SIGTERM mid-train finishes the
+    in-flight step/chunk, saves a resumable checkpoint at the exact landed
+    step, returns cleanly with preempted=True — and --resume true then
+    completes the remaining step budget (the reference loses the whole run
+    on any kill: no optimizer-state restore path, SURVEY.md §5)."""
+    import signal as _signal
+    import threading as _threading
+
+    cfg = tiny_configs(tmp_path, epochs=40, eval_period=1000)
+    dataset, feats = tiny_data(cfg, seed=11, n_train=240)
+    runner = Runner(cfg, dataset, feats)
+    target = cfg.num_train_steps
+    assert target == 40 * runner.train_loader.num_batches()
+    # if the timer fires in the window before train() installs its handler,
+    # ignore the signal instead of dying
+    old = _signal.signal(_signal.SIGTERM, lambda *a: None)
+    try:
+        timer = _threading.Timer(
+            2.0, lambda: os.kill(os.getpid(), _signal.SIGTERM)
+        )
+        timer.start()
+        res = runner.train(verbose=False)
+        timer.cancel()
+    finally:
+        _signal.signal(_signal.SIGTERM, old)
+    assert res["preempted"] is True
+    assert res["global_step"] < target
+    from vslnet_tpu.train.checkpoints import CheckpointManager
+
+    ckpt = CheckpointManager(runner.model_dir, max_to_keep=3)
+    assert ckpt.latest_step() == res["global_step"]
+    ckpt.close()
+    # resume from the preempt save and complete the budget untouched
+    cfg2 = tiny_configs(tmp_path, epochs=40, eval_period=1000, resume=True)
+    r2 = Runner(cfg2, dataset, feats)
+    res2 = r2.train(verbose=False)
+    assert res2["preempted"] is False
+    assert res2["global_step"] == target

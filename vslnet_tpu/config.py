@@ -80,6 +80,13 @@ class Config:
     remat: bool = False                # rematerialize encoders (memory for FLOPs)
     fused_steps: str = "auto"          # [auto|off] lax.scan K train steps per
                                        # dispatch (device-resident data only)
+    on_preempt: str = "save"           # [save | off] SIGTERM during --mode
+    #   train (TPU preemption / maintenance event, scheduler kill): finish
+    #   the in-flight step or fused chunk, save a resumable Orbax
+    #   checkpoint (params + optimizer state + step), and return cleanly —
+    #   `--resume true` then continues where the preemption hit. Multi-host:
+    #   the save is a coordinated Orbax save, valid because TPU maintenance
+    #   events deliver SIGTERM to every host; with per-host kills, use off.
     grad_accum: int = 1                # accumulate gradients over N batches
     #   per optimizer update (optax.MultiSteps): effective batch is
     #   N*batch_size at per-batch activation memory. The lr schedule and

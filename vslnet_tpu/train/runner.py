@@ -8,8 +8,11 @@ all-reduce. Evaluation decodes spans on-device (softmax -> banded outer
 product -> argmax) and computes IoU metrics on host, identical math to
 util/runner_utils.py:60-81.
 """
+import contextlib
 import functools
 import os
+import signal
+import threading
 import time
 
 import jax
@@ -184,6 +187,27 @@ def _apply_update(tx, params, opt_state, grads, loss, guard):
         jax.tree.map(sel, new_opt_state, opt_state),
         (~ok).astype(jnp.int32),
     )
+
+
+@contextlib.contextmanager
+def _sigterm_flag(enabled):
+    """Install a SIGTERM handler that only flips a flag; yields a 0-arg
+    callable reading it. The training loop polls the flag at step/chunk
+    boundaries, so the in-flight device work always completes before the
+    preemption is acted on. No-op (always-False flag) when disabled or off
+    the main thread (signal.signal is main-thread-only)."""
+    flag = {"hit": False}
+    read = lambda: flag["hit"]
+    if not enabled or threading.current_thread() is not threading.main_thread():
+        yield read
+        return
+    old = signal.signal(
+        signal.SIGTERM, lambda signum, frame: flag.__setitem__("hit", True)
+    )
+    try:
+        yield read
+    finally:
+        signal.signal(signal.SIGTERM, old)
 
 
 def make_train_step(model, tx, configs):
@@ -770,7 +794,19 @@ class Runner:
         # the fused multi-step path needs the device-resident dataset and is
         # incompatible with the per-step profiler window
         fused = self.use_fused_steps and not configs.profile_steps
-        with open(score_path, mode=score_mode, encoding="utf-8") as score_writer:
+        # --on_preempt save: a SIGTERM (TPU preemption / maintenance event,
+        # scheduler kill) finishes the in-flight step or fused chunk, saves
+        # a resumable checkpoint, and returns cleanly instead of losing
+        # everything since the last best-metric save (the reference loses
+        # the whole run, SURVEY.md §5)
+        on_preempt = getattr(configs, "on_preempt", "save")
+        if on_preempt not in ("save", "off"):
+            raise ValueError(
+                "on_preempt must be 'save' or 'off', got %r" % on_preempt
+            )
+        with open(score_path, mode=score_mode, encoding="utf-8") \
+                as score_writer, \
+                _sigterm_flag(on_preempt == "save") as preempt_hit:
 
             def log_period(step, epoch, loss, h_loss, steps_per_sec):
                 writer.write(
@@ -788,6 +824,8 @@ class Runner:
 
             def maybe_eval(epoch):
                 nonlocal best_r1i7, stop_early, evals_since_best
+                if preempt_hit():
+                    return  # exit fast: the preempt save below covers state
                 if not (global_step % eval_period == 0
                         or global_step % num_train_batches == 0):
                     return
@@ -826,7 +864,8 @@ class Runner:
                                 flush=True,
                             )
 
-            while global_step < target_steps and fused and not stop_early:
+            while (global_step < target_steps and fused and not stop_early
+                   and not preempt_hit()):
                 epoch = global_step // num_train_batches
                 # [nb, B]: batch axis sharded over 'data' exactly like the
                 # per-step path's shard_batch; step axis replicated. The id
@@ -841,7 +880,7 @@ class Runner:
                 )
                 nb, pos = epoch_ids.shape[0], 0
                 while (pos < nb and global_step < target_steps
-                       and not stop_early):
+                       and not stop_early and not preempt_hit()):
                     # chunk up to the next boundary the host must act at:
                     # eval cadence, the %num_train_batches eval mark, the
                     # step budget, or this epoch's remaining batches
@@ -873,11 +912,13 @@ class Runner:
                     global_step, pos = stop, pos + k
                     maybe_eval(epoch)
 
-            while global_step < target_steps and not stop_early:
+            while (global_step < target_steps and not stop_early
+                   and not preempt_hit()):
                 epoch = global_step // num_train_batches
                 for _, batch in prefetch_to_device(
                         self.train_loader.batch_iter(), self.mesh):
-                    if global_step >= target_steps or stop_early:
+                    if (global_step >= target_steps or stop_early
+                            or preempt_hit()):
                         break
                     if global_step == profile_start:
                         jax.profiler.start_trace(
@@ -920,6 +961,24 @@ class Runner:
                     % nan_skips,
                     flush=True,
                 )
+        preempted = preempt_hit()
+        if preempted:
+            # resumable state at the exact step the preemption landed on;
+            # skip when that step is already on disk (e.g. SIGTERM arrived
+            # during the best-checkpoint save). Multi-host: every process
+            # reaches this coordinated save (TPU maintenance events signal
+            # all hosts; latest_step() agrees because saves are collective).
+            if ckpt.latest_step() != global_step:
+                ckpt.save(
+                    global_step, self.params, self.opt_state,
+                    extra={"r1i7": best_r1i7, "step": global_step},
+                )
+            if verbose:
+                print(
+                    "preempted (SIGTERM): saved resumable checkpoint at "
+                    "step %d — rerun with --resume true" % global_step,
+                    flush=True,
+                )
         writer.close()
         ckpt.close()
         elapsed = time.time() - t_start
@@ -929,6 +988,7 @@ class Runner:
             "train_time_s": elapsed,
             "nan_skips": nan_skips,
             "stopped_early": stop_early,
+            "preempted": preempted,
         }
 
     def _restore_from(self, ckpt):
