@@ -391,8 +391,14 @@ def _require_live_backend(timeout_s=600.0):
 def main():
     from vslnet_tpu.utils.cache import enable_compilation_cache
 
-    _require_live_backend()
+    # cache/platform setup FIRST: enable_compilation_cache re-asserts an
+    # explicit JAX_PLATFORMS=cpu over the axon plugin's 'axon,cpu' rewrite,
+    # which must happen before _require_live_backend initializes a backend
+    # (otherwise `JAX_PLATFORMS=cpu python bench.py` would still touch the
+    # tunnel: hang-to-watchdog when it is down, silently benchmark the TPU
+    # when it is up)
     enable_compilation_cache()
+    _require_live_backend()
     results = {p: bench_predictor(p) for p in ("transformer", "rnn")}
     # default (auto) runs the rnn head on the fused Pallas recurrence, the
     # measured winner; rnn_scan re-measures the pure lax.scan LSTM every

@@ -92,6 +92,13 @@ def main(argv=None):
             if vid not in visual_features:
                 raise ValueError("No features for video {}".format(vid))
 
+        # one pass over the splits up front: batch inference would otherwise
+        # scan every record per request (quadratic in practice)
+        durations = {}
+        for split in ("train_set", "val_set", "test_set"):
+            for rec in dataset.get(split) or []:
+                durations[rec["vid"]] = rec["duration"]
+
         def lookup_duration(vid, explicit):
             # duration (seconds): explicit wins; else look it up from any
             # annotation record of this vid. No silent fallback — a guessed
@@ -99,10 +106,8 @@ def main(argv=None):
             # 109-114 decode contract), so it is an error.
             if explicit is not None:
                 return explicit
-            for split in ("test_set", "val_set", "train_set"):
-                for rec in dataset.get(split) or []:
-                    if rec["vid"] == vid:
-                        return rec["duration"]
+            if vid in durations:
+                return durations[vid]
             raise ValueError(
                 "Video {} has no annotation record to read its duration "
                 "from; pass --duration <seconds> (or a 'duration' field "

@@ -223,3 +223,35 @@ def test_export_bakes_ema_weights(tmp_path):
                                       None, None)
     )(runner.eval_params, runner.frozen, eb)
     np.testing.assert_array_equal(np.asarray(s_art), np.asarray(s_ema))
+
+
+def test_export_ring_attention_model(tmp_path):
+    """A model trained under --sp_size/--ring_attention must export: the
+    artifact is single-device StableHLO with no mesh, so _eval_fn
+    neutralizes ring_attention to its dense twin (same params, same math
+    modulo fp reduction order) alongside use_pallas."""
+    configs = Config(
+        batch_size=4, max_pos_len=16, video_feature_dim=12, hidden_size=16,
+        char_dim=4, word_dim=8, num_heads=4, epochs=1,
+        predictor="transformer", sp_size=2, ring_attention="on",
+        model_dir=str(tmp_path / "ckpt"), save_dir=str(tmp_path / "d"),
+        log_to_tensorboard=False,
+    )
+    dataset, feats = synthetic_dataset(
+        n_train=8, n_test=4, n_videos=4, n_words=40, n_chars=12,
+        max_pos_len=16, video_feature_dim=12, word_dim=8, min_video_len=4,
+        seed=0,
+    )
+    runner = Runner(configs, dataset, feats, mesh=make_mesh(2, 2))
+    path = str(tmp_path / "ra.vslx")
+    export_artifact(runner, path)
+    fn = load_artifact(path)
+    W, C = fn.header["max_words"], fn.header["max_chars"]
+    s, e = fn(
+        jnp.zeros((4, 16, 12), jnp.float32),
+        jnp.full((4,), 16, jnp.int32),
+        jnp.zeros((4, W), jnp.int32),
+        jnp.zeros((4, W, C), jnp.int32),
+    )
+    s, e = np.asarray(s), np.asarray(e)
+    assert ((0 <= s) & (s <= e) & (e < 16)).all()

@@ -434,3 +434,12 @@ def test_ema_shards_like_params_under_tp(tmp_path):
     assert all(
         np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(ema2)
     )
+
+
+def test_make_mesh_zero_dp_raises():
+    """sp_size*tp_size alone exceeding the device count must raise the
+    exceeds-devices error, not silently build a 0-device mesh (regression:
+    dp_size=None -> len(devices)//(sp*tp) == 0 made need=0 pass the
+    check)."""
+    with pytest.raises(ValueError, match="exceeds available"):
+        make_mesh(None, 16)  # 8 simulated devices -> dp would be 0

@@ -606,3 +606,32 @@ def test_preempt_sigterm_saves_resumable_checkpoint(tmp_path):
     res2 = r2.train(verbose=False)
     assert res2["preempted"] is False
     assert res2["global_step"] == target
+
+
+def test_external_import_resets_ema_state(tmp_path):
+    """--tf_checkpoint/--t7_checkpoint install foreign params; the optimizer
+    state (Adam moments AND the --ema_decay shadow tree, a copy of the
+    random init) must be re-initialized from them — regression: eval_params
+    silently returned the EMA of the untrained init after an import."""
+    cfg = tiny_configs(tmp_path, ema_decay=0.9, epochs=1)
+    dataset, feats = tiny_data(cfg, seed=13)
+    runner = Runner(cfg, dataset, feats)
+    # a couple of real steps so the EMA shadow diverges from the params
+    _, batch = next(iter(runner.train_loader.batch_iter()))
+    from vslnet_tpu.parallel.mesh import shard_batch
+    batch = shard_batch(batch, runner.mesh)
+    for step in range(2):
+        runner.params, runner.opt_state, _ = runner.train_step(
+            runner.params, runner.frozen, runner.opt_state, batch,
+            runner.rng, step,
+        )
+    imported = jax.tree.map(lambda p: np.asarray(p) + 0.25, runner.params)
+    runner._install_variables(
+        {"params": imported, "frozen": runner.frozen}, "test import"
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6
+        ),
+        runner.eval_params, imported,
+    )

@@ -106,7 +106,14 @@ def _eval_fn(runner):
     from vslnet_tpu.models.vslnet import build_model
     from vslnet_tpu.train.runner import _eval_compute
 
-    cfg = dataclasses.replace(runner.configs, use_pallas="off")
+    # ring_attention must be neutralized too: the artifact is single-device
+    # StableHLO with no mesh, and build_model(ring_attention='on') raises
+    # without a 'seq' axis — a model TRAINED under --sp_size/--ring_attention
+    # exports its dense-attention twin (same params, same math modulo fp
+    # reduction order)
+    cfg = dataclasses.replace(
+        runner.configs, use_pallas="off", ring_attention="off"
+    )
     model = build_model(cfg, runner.dataset["word_vector"].shape)
     quant = getattr(runner.configs, "export_quantize", "off")
     # eval_params = the weights evaluation/serving actually use (the EMA

@@ -1155,7 +1155,7 @@ _FLASH_TK = 1024
 def mha_flash_fits(T, D, n_heads, budget_bytes=12 * 1024 * 1024):
     """T must be a multiple of the query tile (128); the KV loop handles a
     partial tail tile of any 128-multiple width (T % _FLASH_TK in
-    {128, 256, 384}), so every multiple of 128 is fully attended —
+    {128, 256, ..., 896}), so every multiple of 128 is fully attended —
     round-2 bug where the tail tile was dropped is fixed and pinned by
     the shape-sweep parity test."""
     if D % n_heads or (D // n_heads) % 8:
@@ -1234,7 +1234,7 @@ def _make_flash_fwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
                  jnp.zeros((TQ, 1), jnp.float32),
                  jnp.zeros((TQ, hd), jnp.float32)),
             )
-            if T % TK:  # static tail tile (T % 256 == 128)
+            if T % TK:  # static tail tile, any 128-multiple width < TK
                 m, l, acc = step(n_full * TK, T % TK, m, l, acc)
             out_ref[0, :, h * hd:(h + 1) * hd] = (acc / l).astype(dtype)
             lse_ref[0, 0, h * TQ:(h + 1) * TQ] = (m + jnp.log(l))[:, 0]
@@ -1312,7 +1312,7 @@ def _make_flash_bwd_kernel(n_heads, drop_rate, dtype, TQ, TK):
                 lambda kj, acc: step(kj * TK, TK, acc),
                 jnp.zeros((TQ, hd), jnp.float32),
             )
-            if T % TK:  # static tail tile (T % 256 == 128)
+            if T % TK:  # static tail tile, any 128-multiple width < TK
                 dq_acc = step(n_full * TK, T % TK, dq_acc)
             dq_ref[0, :, h * hd:(h + 1) * hd] = (dq_acc * scale).astype(
                 dq_ref.dtype)

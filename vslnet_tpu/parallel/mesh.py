@@ -38,7 +38,11 @@ def make_mesh(dp_size=None, sp_size=None, tp_size=None, devices=None):
     if dp_size is None:
         dp_size = len(devices) // (sp_size * tp_size)
     need = dp_size * sp_size * tp_size
-    if need > len(devices):
+    # dp_size < 1 happens when sp*tp alone exceeds the device count (e.g. a
+    # config trained with --sp_size 2 reloaded on a 1-device host): without
+    # this, need=0 slips past the check below and a 0-device mesh fails much
+    # later with confusing division errors
+    if dp_size < 1 or need > len(devices):
         raise ValueError(
             "dp_size %d x sp_size %d x tp_size %d exceeds available"
             " devices %d" % (dp_size, sp_size, tp_size, len(devices))

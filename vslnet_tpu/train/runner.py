@@ -1031,6 +1031,12 @@ class Runner:
         self.frozen = shard_params(
             jax.tree.map(jnp.asarray, variables["frozen"]), self.mesh
         )
+        # re-init the optimizer state from the IMPORTED params: the old
+        # state's Adam moments are meaningless for foreign weights, and
+        # under --ema_decay the stale EmaState would otherwise hold a copy
+        # of the fresh random init — eval_params would then silently
+        # evaluate untrained weights
+        self.opt_state = shard_params(self.tx.init(self.params), self.mesh)
 
     def restore_tf(self, path):
         """Import a reference TF .ckpt (models/convert_tf.py) — the released
