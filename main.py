@@ -52,7 +52,8 @@ def main(argv=None):
         configs.cqa_bias = True  # t7 dialect (torch CQA output conv has bias)
     external_ckpt = bool(configs.t7_checkpoint or configs.tf_checkpoint)
 
-    if configs.mode.lower() in ("test", "predict", "export") and not external_ckpt:
+    if (configs.mode.lower() in ("test", "predict", "export", "serve")
+            and not external_ckpt):
         # reload train-time configs, then re-apply explicit CLI overrides
         # (reference main.py:120-123); skipped when importing a torch .t7
         # checkpoint (no local training run exists to reload from)
@@ -94,10 +95,9 @@ def main(argv=None):
 
         # one pass over the splits up front: batch inference would otherwise
         # scan every record per request (quadratic in practice)
-        durations = {}
-        for split in ("train_set", "val_set", "test_set"):
-            for rec in dataset.get(split) or []:
-                durations[rec["vid"]] = rec["duration"]
+        from vslnet_tpu.server import durations_from_dataset
+
+        durations = durations_from_dataset(dataset)
 
         def lookup_duration(vid, explicit):
             # duration (seconds): explicit wins; else look it up from any
@@ -183,6 +183,18 @@ def main(argv=None):
                 top_k=k,
             )
             print(result_line(configs.vid, configs.query, res), flush=True)
+    elif configs.mode.lower() == "serve":
+        # built-in HTTP endpoint (vslnet_tpu/server.py): POST /localize,
+        # GET /healthz; zero third-party dependencies
+        from vslnet_tpu.serve import Localizer
+        from vslnet_tpu.server import durations_from_dataset, run_server
+
+        runner.restore()
+        loc = Localizer(runner, dataset["word_dict"], dataset["char_dict"])
+        run_server(
+            loc, visual_features, durations_from_dataset(dataset),
+            host=configs.serve_host, port=configs.port,
+        )
     elif configs.mode.lower() == "export":
         # serialize the restored eval step (weights baked in) as a
         # self-contained StableHLO serving artifact (vslnet_tpu/export.py)

@@ -123,6 +123,9 @@ class Config:
     #   prediction JSON line per request (respects --top_k)
     predictions_out: Optional[str] = None  # --mode predict + --queries_file:
     #   write prediction lines to this file instead of stdout
+    serve_host: str = "127.0.0.1"      # --mode serve: bind address
+    port: int = 8080                   # --mode serve: HTTP port (0 = pick
+    #                                    a free one, printed at startup)
     export_path: Optional[str] = None  # --mode export: output artifact path
     #   (serialized StableHLO eval step with weights baked in; vslnet_tpu/
     #   export.py). Default: <home_dir>/model/exported.vslx
