@@ -88,6 +88,41 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     )
 
 
+def test_checkpoint_async_save_matches_sync(tmp_path):
+    """async_save=True must produce the identical on-disk result: save()
+    returns before the write lands, restore() barriers on it, and the
+    restored tree is bit-equal to a sync save of the same state. Also pins
+    the mutate-after-save hazard: Orbax snapshots to host inside save(), so
+    overwriting the live arrays right after save() cannot corrupt it."""
+    from vslnet_tpu.train.checkpoints import CheckpointManager, abstract_like
+
+    cfg = tiny_configs(tmp_path, epochs=1)
+    dataset, feats = tiny_data(cfg)
+    runner = Runner(cfg, dataset, feats)
+    params_saved = jax.tree.map(np.asarray, runner.params)
+    abstract = {
+        "params": abstract_like(params_saved),
+        "opt_state": abstract_like(
+            jax.tree.map(
+                lambda x: np.asarray(x) if hasattr(x, "shape") else x,
+                runner.opt_state,
+            )
+        ),
+    }
+    mgr = CheckpointManager(str(tmp_path / "a"), max_to_keep=3,
+                            async_save=True)
+    mgr.save(3, runner.params, runner.opt_state, extra={"r1i7": 9.0})
+    # mutate the live tree immediately — the in-flight save must not see it
+    runner.params = jax.tree.map(lambda x: x * 0 - 1.0, runner.params)
+    step, restored = mgr.restore(abstract_tree=abstract)
+    assert step == 3 and restored["extra"]["r1i7"] == 9.0
+    jax.tree.map(
+        np.testing.assert_array_equal, params_saved,
+        jax.tree.map(np.asarray, restored["params"]),
+    )
+    mgr.close()
+
+
 def test_runner_restores_best_checkpoint_metrics(tmp_path):
     """Reference behavior: checkpoints gate on best R1@0.7 (main.py:111-114);
     a fresh Runner restoring from disk must reproduce the best eval metrics,

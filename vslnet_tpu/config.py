@@ -110,6 +110,12 @@ class Config:
     log_to_tensorboard: bool = True
     eval_period: Optional[int] = None  # None: num_train_batches // 2
     resume: bool = False               # resume training from latest checkpoint
+    ckpt_async: bool = True            # overlap checkpoint disk writes with
+    #   training (Orbax async): save() snapshots to host memory and returns;
+    #   the serialize+fsync runs in a background thread. Restore, preempt
+    #   exit, and train-end all barrier on in-flight saves, so the on-disk
+    #   result is identical to sync saves — only the step path stops paying
+    #   for the write. false: block in save() (reference behavior).
     query: Optional[str] = None        # --mode predict: the text query
     vid: Optional[str] = None          # --mode predict: target video id
     duration: Optional[float] = None   # --mode predict: video duration in

@@ -11,13 +11,22 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    def __init__(self, model_dir, max_to_keep=3):
+    def __init__(self, model_dir, max_to_keep=3, async_save=False):
+        """async_save=True overlaps the disk write with training: Orbax
+        snapshots device arrays to host memory synchronously inside save()
+        (so buffer donation by the next train step is safe) and persists in
+        a background thread. restore()/close() barrier on in-flight saves.
+        On a tunneled/remote TPU the D2H snapshot is the cheap part; the
+        serialize+fsync the reference pays inline (tf.train.Saver,
+        main.py:111-114) comes off the step path entirely."""
         self._dir = os.path.abspath(model_dir)
+        self._async = bool(async_save)
         os.makedirs(self._dir, exist_ok=True)
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True, enable_async_checkpointing=False
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=self._async,
             ),
         )
 
@@ -32,12 +41,17 @@ class CheckpointManager:
         }
         tree = {"params": params, "opt_state": opt_state, "extra": extra_full}
         self._mgr.save(int(step), args=ocp.args.StandardSave(tree))
+        if not self._async:
+            self._mgr.wait_until_finished()
+
+    def wait_until_finished(self):
         self._mgr.wait_until_finished()
 
     def latest_step(self):
         return self._mgr.latest_step()
 
     def restore(self, abstract_tree=None, step=None):
+        self._mgr.wait_until_finished()  # barrier on any in-flight async save
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise ValueError("No pre-trained weights exist in %s" % self._dir)

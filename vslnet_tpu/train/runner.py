@@ -736,7 +736,10 @@ class Runner:
                           append=resume)
             if is_primary else NullMetricsWriter()
         )
-        ckpt = CheckpointManager(self.model_dir, max_to_keep=3)
+        ckpt = CheckpointManager(
+            self.model_dir, max_to_keep=3,
+            async_save=getattr(configs, "ckpt_async", True),
+        )
         best_r1i7 = -1.0
         global_step = 0
         if resume:
