@@ -221,6 +221,24 @@ def test_cli_dim_alias():
     assert namespace_to_config(ns).hidden_size == 64
 
 
+def test_cli_bool_flags_parse_false():
+    """Every bool flag must accept 'false'/'0' (argparse's type=bool would
+    parse any non-empty string as True — the ckpt_async regression)."""
+    import dataclasses
+
+    from vslnet_tpu.config import Config, build_parser, namespace_to_config
+
+    bool_fields = [f.name for f in dataclasses.fields(Config)
+                   if isinstance(f.default, bool)]
+    assert "ckpt_async" in bool_fields and "nan_guard" in bool_fields
+    for name in bool_fields:
+        for val, want in [("false", False), ("0", False), ("no", False),
+                          ("true", True), ("1", True)]:
+            ns = build_parser().parse_args(["--" + name, val])
+            cfg = namespace_to_config(ns)
+            assert getattr(cfg, name) is want, (name, val)
+
+
 def test_video_bank_roundtrip_and_dict_access(tmp_path):
     from vslnet_tpu.data.loader import VideoBank
 

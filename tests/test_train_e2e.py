@@ -112,8 +112,13 @@ def test_checkpoint_async_save_matches_sync(tmp_path):
     mgr = CheckpointManager(str(tmp_path / "a"), max_to_keep=3,
                             async_save=True)
     mgr.save(3, runner.params, runner.opt_state, extra={"r1i7": 9.0})
-    # mutate the live tree immediately — the in-flight save must not see it
-    runner.params = jax.tree.map(lambda x: x * 0 - 1.0, runner.params)
+    # exercise the real mutate-after-save hazard: free the live device
+    # buffers while the async write may still be in flight. If Orbax had
+    # kept references instead of snapshotting to host inside save(), the
+    # background serialize would hit deleted buffers and restore() (which
+    # barriers on the write) would surface the error.
+    for leaf in jax.tree.leaves(runner.params):
+        leaf.delete()
     step, restored = mgr.restore(abstract_tree=abstract)
     assert step == 3 and restored["extra"]["r1i7"] == 9.0
     jax.tree.map(

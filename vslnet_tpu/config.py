@@ -228,8 +228,9 @@ def build_parser():
     parser = argparse.ArgumentParser(description="vslnet_tpu")
     for field in dataclasses.fields(Config):
         default = field.default
-        if field.name in ("log_to_tensorboard", "resume",
-                          "remat", "cqa_bias", "feature_cache"):
+        if isinstance(default, bool):
+            # every bool flag parses 'false'/'0'/'no' as False — argparse's
+            # type=bool would treat any non-empty string as True
             parser.add_argument(
                 "--" + field.name,
                 type=lambda s: s.lower() in ("1", "true", "yes"),
@@ -242,8 +243,6 @@ def build_parser():
             argtype = float
         elif field.type in ("Optional[str]", Optional[str]):
             argtype = str
-        elif isinstance(default, bool):
-            argtype = bool
         elif isinstance(default, int):
             argtype = int
         elif isinstance(default, float):

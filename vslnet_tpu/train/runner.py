@@ -976,6 +976,10 @@ class Runner:
                     global_step, self.params, self.opt_state,
                     extra={"r1i7": best_r1i7, "step": global_step},
                 )
+            # barrier on the async write before claiming the save landed —
+            # a SIGKILL racing the background serialize must not be able to
+            # falsify the log line
+            ckpt.wait_until_finished()
             if verbose:
                 print(
                     "preempted (SIGTERM): saved resumable checkpoint at "
