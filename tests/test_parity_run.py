@@ -135,6 +135,58 @@ def test_probe_ckpt_config_reads_adjacent_and_parent(tmp_path):
 
 
 @pytest.mark.slow
+def test_harness_t7_ckpt_import_stage(tmp_path, mini_root, capsys):
+    """The t7-eval stage end-to-end: fabricate a reference torch VSLNet
+    state_dict (the real model/layers_t7.py blocks), torch.save it as a
+    released-style .t7 with its configs.json (torch 'dim' flag dialect,
+    main_t7.py:21), and require a graded t7-eval row — covering the
+    import -> eval -> grade path the day the released .t7 files land."""
+    torch = pytest.importorskip("torch")
+    from vslnet_tpu.config import Config
+    from vslnet_tpu.data.datasets import gen_or_load_dataset
+    from test_convert_t7 import _build_torch_model
+
+    shape = dict(max_pos_len=16, hidden_size=16, char_dim=4, num_heads=4,
+                 video_feature_dim=16, word_dim=300)
+    pre_cfg = Config(
+        task="charades", data_root=str(mini_root),
+        save_dir=str(tmp_path / "pre_datasets"), **shape
+    )
+    dataset = gen_or_load_dataset(pre_cfg)
+    tmodel = _build_torch_model(
+        "rnn", dim=16, num_heads=4, max_pos_len=16,
+        word_vectors=dataset["word_vector"].astype(np.float32),
+        char_size=dataset["n_chars"], word_dim=300, char_dim=4,
+        video_dim=16,
+    )
+    ckpt_dir = tmp_path / "released_t7" / "model"
+    ckpt_dir.mkdir(parents=True)
+    ckpt_path = str(ckpt_dir / "vslnet_77.t7")
+    torch.save(tmodel.state_dict(), ckpt_path)
+    (ckpt_dir / "configs.json").write_text(json.dumps(
+        {"max_pos_len": 16, "dim": 16, "char_dim": 4, "num_heads": 4,
+         "video_feature_dim": 16, "word_dim": 300, "predictor": "rnn",
+         "fv": "new"}
+    ))
+
+    out = str(tmp_path / "report")
+    code = _run([
+        "--data_root", str(mini_root), "--tasks", "charades",
+        "--predictors", "rnn",
+        "--t7_ckpt", "charades=" + ckpt_path,
+        "--workdir", str(tmp_path / "work"), "--out", out,
+        "--set", "batch_size=8", "--set", "log_to_tensorboard=false",
+    ])
+    capsys.readouterr()
+    assert code == 1  # graded (random weights can't match the paper): FAIL
+    report = json.loads(open(out + ".json").read())
+    stages = [s for s in report["stages"] if s["stage"] == "t7-eval"]
+    assert len(stages) == 1 and stages[0]["predictor"] == "rnn"
+    for m in ("r1i3", "r1i5", "r1i7", "miou"):
+        assert 0.0 <= stages[0]["metrics"][m] <= 100.0
+
+
+@pytest.mark.slow
 def test_harness_tf_ckpt_import_probes_run_shape(tmp_path, mini_root, capsys):
     """Fabricate a reference TF checkpoint + its configs.json at a NON-default
     run shape (max_pos_len 16, hidden 16). The harness gets no --set shape
