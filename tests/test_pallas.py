@@ -587,8 +587,12 @@ def test_fused_mha_conv_under_dp_mesh():
             jax.tree_util.tree_leaves_with_path(g_dp),
             jax.tree_util.tree_leaves_with_path(g_ref)):
         assert ka == kb
+        # atol 1e-4: the R-rows kernels contract weight grads in one
+        # [R*T, D] matmul while the dp path sums per-shard partials via
+        # psum — same math, different fp accumulation order (measured
+        # worst case 4e-5 on O(40) depthwise-filter grads)
         np.testing.assert_allclose(
-            np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-5,
+            np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-5,
             err_msg=jax.tree_util.keystr(ka))
 
 
@@ -672,15 +676,17 @@ def test_fused_mha_block_dropout_semantics():
     # the twin-gradient comparison below, which shares the hash helpers)
 
     def twin(x, wqkv, wd):
+        # one example per call (R=1) so the R-rows kernel's bit streams are
+        # pinned against independent single-row evaluations
         outs = []
         for bi in range(B):
             out32, _ = _mha_block_fwd_math(
                 H, rate, jnp.float32.dtype.type if hasattr(jnp.float32, "dtype")
-                else jnp.float32, x[bi],
+                else jnp.float32, x[bi:bi + 1],
                 gam.reshape(2, 1, D), beta.reshape(2, 1, D), wqkv, bqkv,
-                wd, bd, mask[bi], seeds[bi, 0].astype(jnp.int32),
+                wd, bd, mask[bi:bi + 1], seeds[bi, :1].astype(jnp.int32),
             )
-            outs.append(out32)
+            outs.append(out32[0])
         return jnp.stack(outs)
 
     g_twin = jax.grad(
@@ -694,3 +700,27 @@ def test_fused_mha_block_dropout_semantics():
     for a_, b_ in zip(g_ker, g_twin):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
                                    atol=5e-3, rtol=5e-3)
+
+
+def test_rows_hash_twins_bit_identical():
+    """The R-rows-per-program kernels vectorize the per-example dropout
+    hashes; the rows twins must reproduce the scalar reference helpers'
+    bit streams EXACTLY or fixed-seed losses shift with the (purely
+    internal, shape-driven) choice of rows per program."""
+    from vslnet_tpu.ops.pallas_kernels import (
+        _hash_bits,
+        _hash_bits_rows,
+        _mha_hash_bits,
+        _mha_hash_bits_rows,
+    )
+
+    seeds = jnp.asarray([3, 12345, (1 << 23) - 1], jnp.int32)
+    R, A, Bd, T = 3, 8, 16, 16
+    rows = np.asarray(_hash_bits_rows(seeds, 0x123, (R, A, Bd)))
+    for r in range(R):
+        one = np.asarray(_hash_bits(seeds[r], 0x123, (A, Bd)))
+        np.testing.assert_array_equal(rows[r], one)
+    rows_m = np.asarray(_mha_hash_bits_rows(seeds, 5, R, T))
+    for r in range(R):
+        one = np.asarray(_mha_hash_bits(seeds[r], 5, T))
+        np.testing.assert_array_equal(rows_m[r], one)

@@ -193,6 +193,12 @@ def pallas_flags(configs):
     'fusion' — the CQA / highlight-gate / span-decode fused kernels,
     which lose to XLA's reassociated forms at reference shapes: explicit
     on/true only. Bool values (legacy flag form) alias on/off.
+    'forced' — False under auto: each enabled kernel additionally engages
+    only at shapes where it measured-WINS (models/layers.py *_wins gates:
+    the block kernels above the D>=512 crossover, flash at long T, the
+    LSTM recurrence everywhere). True under explicit on: kernels engage
+    wherever they fit, which is what the parity tests and power users
+    asking for them mean.
     """
     s = str(getattr(configs, "use_pallas", "auto")).lower()
     all_on = s in ("on", "true", "1", "yes")
@@ -206,8 +212,10 @@ def pallas_flags(configs):
 
         tp = (getattr(configs, "tp_size", None) or 1) > 1
         accel = jax.default_backend() != "cpu" and not tp
-        return {"lstm": accel, "mha": accel, "conv": accel, "fusion": False}
-    return {"lstm": all_on, "mha": all_on, "conv": all_on, "fusion": all_on}
+        return {"lstm": accel, "mha": accel, "conv": accel,
+                "fusion": False, "forced": False}
+    return {"lstm": all_on, "mha": all_on, "conv": all_on,
+            "fusion": all_on, "forced": True}
 
 
 def resolve_rng_impl(configs):

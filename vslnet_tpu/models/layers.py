@@ -234,18 +234,23 @@ class ConvBlock(nn.Module):
     conv_pallas: bool = False  # run the whole stack in one fused kernel
     #   (ops/pallas_kernels.fused_conv_block): no HBM round-trips between
     #   LN / depthwise / pointwise / dropout / residual stages
+    pallas_forced: bool = True  # True (explicit --use_pallas on / direct
+    #   construction): engage wherever the kernel FITS. False (auto):
+    #   engage only where it measured-WINS (conv_block_pallas_wins)
 
     @nn.compact
     def __call__(self, x, *, deterministic, drop_rate):
         from vslnet_tpu.ops.pallas_kernels import (
             conv_block_pallas_fits,
+            conv_block_pallas_wins,
             fused_conv_block,
         )
 
         B, T, D = x.shape
+        conv_gate = (conv_block_pallas_fits if self.pallas_forced
+                     else conv_block_pallas_wins)
         if (self.conv_pallas and D == self.dim
-                and conv_block_pallas_fits(T, D, self.kernel_size,
-                                           self.num_layers)):
+                and conv_gate(T, D, self.kernel_size, self.num_layers)):
             gams, betas, dws, wps, bps = [], [], [], [], []
             for layer_idx in range(self.num_layers):
                 g_, b_ = LayerNorm(
@@ -301,6 +306,9 @@ class MultiHeadAttention(nn.Module):
     #   GSPMD all-gather them — per-device attention memory O((T/sp)^2)
     #   transient instead of O(T/sp * T). Only used on calls that pass
     #   ring=True (the video stream, whose T axis is 'seq'-sharded).
+    pallas_forced: bool = True  # True: fused_mha wherever it fits.
+    #   False (auto): plain kernel only above the measured crossover,
+    #   flash only at long T (mha_pallas_route_wins)
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate,
@@ -333,6 +341,7 @@ class MultiHeadAttention(nn.Module):
 
         from vslnet_tpu.ops.pallas_kernels import (
             fused_mha,
+            mha_pallas_route_wins,
             mha_pallas_supported,
         )
 
@@ -361,8 +370,10 @@ class MultiHeadAttention(nn.Module):
                     drop_seeds(rate), self.num_heads, rate, self.ring_mesh,
                 )
 
+        mha_gate = (mha_pallas_supported if self.pallas_forced
+                    else mha_pallas_route_wins)
         if (self.mha_pallas and mask is not None
-                and mha_pallas_supported(T, self.dim, self.num_heads)):
+                and mha_gate(T, self.dim, self.num_heads)):
             rate = 0.0 if deterministic else float(drop_rate)
             return fused_mha(q_proj, k_proj, v_proj,
                              mask.astype(jnp.float32), drop_seeds(rate),
@@ -399,6 +410,7 @@ class MultiHeadAttentionBlock(nn.Module):
     dtype: Dtype = jnp.float32
     mha_pallas: bool = False
     ring_mesh: Any = None
+    pallas_forced: bool = True  # see ConvBlock.pallas_forced
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate,
@@ -406,14 +418,17 @@ class MultiHeadAttentionBlock(nn.Module):
         from vslnet_tpu.ops.pallas_kernels import (
             fused_mha_block,
             mha_block_pallas_fits,
+            mha_block_pallas_wins,
         )
 
         B, T, _ = x.shape
         use_ring = ring and self.ring_mesh is not None and mask is not None
+        block_gate = (mha_block_pallas_fits if self.pallas_forced
+                      else mha_block_pallas_wins)
         if (self.mha_pallas and self.use_bias and mask is not None
                 and not use_ring  # ring keeps T sharded; the fused block
                 #   kernel is batch-partitioned and would gather full T
-                and mha_block_pallas_fits(T, self.dim, self.num_heads)):
+                and block_gate(T, self.dim, self.num_heads)):
             # whole block in ONE kernel (LN1 -> dropout -> QKV -> attention
             # -> dropout -> residual -> LN2 -> dropout -> dense -> dropout
             # -> residual); params declared under their usual module paths
@@ -446,6 +461,7 @@ class MultiHeadAttentionBlock(nn.Module):
         y = MultiHeadAttention(
             dim=self.dim, num_heads=self.num_heads, dtype=self.dtype,
             mha_pallas=self.mha_pallas, ring_mesh=self.ring_mesh,
+            pallas_forced=self.pallas_forced,
             name="multihead_attention",
         )(y, mask=mask, deterministic=deterministic, drop_rate=drop_rate,
           ring=ring)
@@ -471,6 +487,7 @@ class FeatureEncoder(nn.Module):
     mha_pallas: bool = False
     conv_pallas: bool = False
     ring_mesh: Any = None
+    pallas_forced: bool = True  # see ConvBlock.pallas_forced
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic, drop_rate,
@@ -481,11 +498,13 @@ class FeatureEncoder(nn.Module):
         )(x)
         x = ConvBlock(
             kernel_size=7, dim=self.hidden_size, num_layers=4, dtype=self.dtype,
-            conv_pallas=self.conv_pallas, name="conv_block",
+            conv_pallas=self.conv_pallas, pallas_forced=self.pallas_forced,
+            name="conv_block",
         )(x, deterministic=deterministic, drop_rate=drop_rate)
         x = MultiHeadAttentionBlock(
             dim=self.hidden_size, num_heads=self.num_heads, dtype=self.dtype,
             mha_pallas=self.mha_pallas, ring_mesh=self.ring_mesh,
+            pallas_forced=self.pallas_forced,
             name="multihead_attention_block",
         )(x, mask=mask, deterministic=deterministic, drop_rate=drop_rate,
           ring=ring)
@@ -701,6 +720,7 @@ class ConditionedPredictor(nn.Module):
     conv_pallas: bool = False
     ring_mesh: Any = None  # transformer mode operates on the video T axis,
     #   so its encoders ring-attend whenever the mesh shards it
+    pallas_forced: bool = True  # see ConvBlock.pallas_forced
 
     @nn.compact
     def __call__(self, x, seq_len, v_mask, *, deterministic, drop_rate):
@@ -718,7 +738,8 @@ class ConditionedPredictor(nn.Module):
                 hidden_size=self.hidden_size, num_heads=self.num_heads,
                 max_position_length=self.max_position_length, dtype=self.dtype,
                 mha_pallas=self.mha_pallas, conv_pallas=self.conv_pallas,
-                ring_mesh=self.ring_mesh, name="feature_encoder",
+                ring_mesh=self.ring_mesh, pallas_forced=self.pallas_forced,
+                name="feature_encoder",
             )
             ring = self.ring_mesh is not None
             start_features = encoder(

@@ -49,6 +49,10 @@ class VSLNet(nn.Module):
     #   ->dropout->PV on-chip); None: follow use_pallas
     conv_pallas: Optional[bool] = None  # fused QANet conv stack kernel;
     #   None: follow use_pallas
+    pallas_forced: bool = True  # True (explicit on): kernels engage
+    #   wherever they fit. False (auto): each kernel engages only where it
+    #   measured-WINS (layers.py *_wins gates) — the blocks above the
+    #   D>=512 crossover, flash at long T, the LSTM recurrence always
     cqa_bias: bool = False    # t7-dialect CQA output bias (checkpoint import)
     # BERT text-encoder variant (BASELINE.json config 5): replaces
     # GloVe+charCNN at the model/VSLNet.py:43-48 boundary; word_ids are then
@@ -114,6 +118,7 @@ class VSLNet(nn.Module):
             conv_pallas=(self.use_pallas if self.conv_pallas is None
                          else self.conv_pallas),
             ring_mesh=self.ring_mesh,
+            pallas_forced=self.pallas_forced,
             name="feature_encoder",
         )
         video = encoder(video, mask=v_mask, deterministic=deterministic,
@@ -149,6 +154,7 @@ class VSLNet(nn.Module):
             conv_pallas=(self.use_pallas if self.conv_pallas is None
                          else self.conv_pallas),
             ring_mesh=self.ring_mesh,
+            pallas_forced=self.pallas_forced,
             name="conditioned_predictor",
         )(feats, v_len, v_mask, deterministic=deterministic,
           drop_rate=drop_rate)
@@ -215,6 +221,7 @@ def build_model(configs, word_vectors_shape, dtype=None, mesh=None):
         lstm_pallas=pallas_flags(configs)["lstm"],
         mha_pallas=pallas_flags(configs)["mha"],
         conv_pallas=pallas_flags(configs)["conv"],
+        pallas_forced=pallas_flags(configs)["forced"],
         cqa_bias=bool(getattr(configs, "cqa_bias", False)),
         ring_mesh=ring_mesh,
         **bert_kw,
