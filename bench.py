@@ -364,11 +364,14 @@ def _bench_long_context_one(T, B):
         attn = "flash"
     else:
         attn = "xla"
+    from vslnet_tpu.ops.pallas_kernels import conv_block_pallas_wins
+
     row = {"max_pos_len": T, "batch_size": B,
            "train_ms_per_step": round(ms, 2),
            "clip_positions_per_sec": round(rate["median"] * B * T, 1),
            "attention_kernel": attn,
-           "flash_engaged": attn == "flash"}
+           "flash_engaged": attn == "flash",
+           "conv_kernel_engaged": bool(conv_block_pallas_wins(T, D, 7, 4))}
     if np.isfinite(flops):
         row["flops_per_step"] = flops
         mfu = _mfu_pct(flops, rate["median"], digits=2)
@@ -379,11 +382,12 @@ def _bench_long_context_one(T, B):
 
 def _bench_ring_overhead_child():
     """Child-process body (JAX_PLATFORMS=cpu, 8 simulated devices): time
-    the T=2048 train step under sp=8 ring attention vs plain dp=8 and
+    the T=1024 train step under sp=8 ring attention vs plain dp=8 and
     print the two rates as JSON. Ring's REAL target is multi-chip ICI
     (unavailable here); this records its single-host virtual-mesh
     overhead so the cost is a number, not a guess (round-3 verdict
-    weak #3)."""
+    weak #3). T=1024 rather than 2048: the XLA:CPU compile of the
+    T=2048 ring step ran past 25 minutes on a busy box."""
     import jax as _jax
 
     _jax.config.update("jax_platforms", "cpu")
@@ -398,7 +402,7 @@ def _bench_ring_overhead_child():
     from vslnet_tpu.parallel.mesh import make_mesh
     from vslnet_tpu.train.runner import Runner
 
-    T, B, K = 2048, 8, 4
+    T, B, K = 1024, 8, 4
     base = Config(
         batch_size=B, max_pos_len=T, video_feature_dim=1024,
         hidden_size=128, num_heads=8, predictor="transformer",

