@@ -21,6 +21,53 @@ except Exception:
     pass  # older jax: XLA_FLAGS handles it
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent XLA compile cache for the suite: most of the wall time is
+# XLA:CPU compilation of near-identical tiny train steps, and warm
+# entries cut measured file times ~4x. The dir is scoped by host CPU
+# signature (utils/cache.py) so a VM host change can never load foreign
+# AOT machine code (the historical SIGILL/abort mode). Opt out with
+# VSLNET_TEST_COMPILE_CACHE=0.
+if os.environ.get("VSLNET_TEST_COMPILE_CACHE", "1").lower() not in (
+        "0", "off", "false", "no"):
+    from vslnet_tpu.utils.cache import host_scoped_cache_dir
+
+    _cache_base = (
+        os.environ.get("VSLNET_TEST_COMPILE_CACHE_DIR")
+        or os.path.join(os.path.expanduser("~"), ".cache", "vslnet_tpu",
+                        "xla-tests")
+    )
+    _cache_dir = host_scoped_cache_dir(_cache_base)
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 0.5)
+        # subprocess smoke tests opt into the same cache (their CLI entry
+        # points scope the base dir by host signature identically)
+        os.environ.setdefault("VSLNET_COMPILE_CACHE", _cache_base)
+    except Exception:
+        pass  # cache is an optimization; never fail collection over it
+
+
+# In-process Runner.train() installs a SIGTERM handler (on_preempt=save
+# default) that only flips a flag — so a stray SIGTERM delivered to the
+# pytest process (CI teardown, harness killing a backgrounded suite) is
+# silently swallowed and truncates whatever training loop happens to be
+# running, failing that one test with a confusing short global_step
+# (observed in practice). Default the handler OFF under pytest; the
+# preemption tests opt back in via VSLNET_TEST_ALLOW_PREEMPT=1.
+import vslnet_tpu.train.runner as _runner_mod  # noqa: E402
+
+_orig_sigterm_flag = _runner_mod._sigterm_flag
+
+
+def _test_sigterm_flag(enabled):
+    allow = os.environ.get("VSLNET_TEST_ALLOW_PREEMPT") == "1"
+    return _orig_sigterm_flag(enabled and allow)
+
+
+_runner_mod._sigterm_flag = _test_sigterm_flag
+
 
 def pytest_configure(config):
     config.addinivalue_line(

@@ -607,7 +607,7 @@ def test_grad_accum_trains_and_matches_fused(tmp_path):
     assert max(jax.tree.leaves(moved)) > 0
 
 
-def test_preempt_sigterm_saves_resumable_checkpoint(tmp_path):
+def test_preempt_sigterm_saves_resumable_checkpoint(tmp_path, monkeypatch):
     """--on_preempt save (the default): SIGTERM mid-train finishes the
     in-flight step/chunk, saves a resumable checkpoint at the exact landed
     step, returns cleanly with preempted=True — and --resume true then
@@ -616,6 +616,9 @@ def test_preempt_sigterm_saves_resumable_checkpoint(tmp_path):
     import signal as _signal
     import threading as _threading
 
+    # conftest disables the in-process preempt handler suite-wide (stray
+    # SIGTERMs must not silently truncate other tests); opt back in here
+    monkeypatch.setenv("VSLNET_TEST_ALLOW_PREEMPT", "1")
     cfg = tiny_configs(tmp_path, epochs=40, eval_period=1000)
     dataset, feats = tiny_data(cfg, seed=11, n_train=240)
     runner = Runner(cfg, dataset, feats)

@@ -82,37 +82,54 @@ def enable_compilation_cache():
             # initializing a backend to find out, and the cache is only a
             # startup optimization
             return
-    cache_dir = setting or os.path.join(
-        os.path.expanduser("~"), ".cache", "vslnet_tpu", "xla"
-    )
-    # Scope the cache by host CPU microarchitecture: XLA:CPU stores AOT
-    # machine code keyed only by program, so an entry compiled on a host
-    # with different CPU features (VM migration, shared cache dir) loads
-    # but can SIGILL/abort at execution ("Machine type used for XLA:CPU
-    # compilation doesn't match the machine type for execution"). TPU
-    # executables embed their own compatibility checks; the host signature
-    # subdir makes stale-machine reuse structurally impossible for both.
-    try:
-        import hashlib
-        import platform
-
-        sig_src = platform.machine() + ":" + platform.processor()
-        try:
-            with open("/proc/cpuinfo") as f:
-                for line in f:
-                    if line.startswith("flags"):
-                        sig_src += ":" + line.strip()
-                        break
-        except OSError:
-            pass
-        cache_dir = os.path.join(
-            cache_dir, hashlib.sha256(sig_src.encode()).hexdigest()[:12]
+    cache_dir = host_scoped_cache_dir(
+        setting or os.path.join(
+            os.path.expanduser("~"), ".cache", "vslnet_tpu", "xla"
         )
-    except Exception:
-        pass
+    )
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass  # cache is an optimization; never fail startup over it
+
+
+def host_scoped_cache_dir(base_dir):
+    """Scope a compile-cache dir by host CPU microarchitecture: XLA:CPU
+    stores AOT machine code keyed only by program, so an entry compiled on
+    a host with different CPU features (VM migration, shared cache dir)
+    loads but can SIGILL/abort at execution ("Machine type used for
+    XLA:CPU compilation doesn't match the machine type for execution").
+    TPU executables embed their own compatibility checks; the host
+    signature subdir makes stale-machine reuse structurally impossible
+    for both. Also used by tests/conftest.py for the CPU test cache."""
+    try:
+        import hashlib
+        import platform
+
+        sig_src = platform.machine() + ":" + platform.processor()
+        try:
+            # model name/family/stepping matter beyond the CPUID flags:
+            # XLA picks per-microarchitecture tuning features (e.g.
+            # +prefer-no-scatter on some AVX-512 parts) from the CPU
+            # model, so two hosts with identical flags can still produce
+            # AOT entries the other host's loader rejects as mismatched
+            want = ("flags", "model name", "model\t", "cpu family",
+                    "stepping")
+            seen = set()
+            with open("/proc/cpuinfo") as f:
+                for line in f:
+                    key = line.split(":")[0].strip()
+                    if line.startswith(want) and key not in seen:
+                        seen.add(key)
+                        sig_src += ":" + line.strip()
+                    if len(seen) == len(want):
+                        break
+        except OSError:
+            pass
+        return os.path.join(
+            base_dir, hashlib.sha256(sig_src.encode()).hexdigest()[:12]
+        )
+    except Exception:
+        return base_dir
