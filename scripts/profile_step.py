@@ -117,12 +117,16 @@ def summarize(path, device_only=True):
 
 
 def report(rows, K, top=40):
+    """Pretty-print summarize() rows. K=None suppresses the busy/step
+    column — correct for host planes, where busy_us/K is meaningless
+    (host lines are not per-step device work)."""
     for row in rows:
         busy = row["busy_us"] or 1.0
-        print("\n=== %s :: %s  events=%d  busy=%.1fus  span=%.1fus"
-              "  busy/step=%.1fus ===" % (
-                  row["plane"], row["line"], row["events"], row["busy_us"],
-                  row["span_us"], row["busy_us"] / max(1, K)))
+        per_step = ("" if K is None
+                    else "  busy/step=%.1fus" % (row["busy_us"] / max(1, K)))
+        print("\n=== %s :: %s  events=%d  busy=%.1fus  span=%.1fus%s ==="
+              % (row["plane"], row["line"], row["events"], row["busy_us"],
+                 row["span_us"], per_step))
         for op, dur in row["ops"][:top]:
             print("  %9.1fus  %5.1f%%  %s" % (dur, 100.0 * dur / busy,
                                               op[:110]))
@@ -146,20 +150,34 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--xspace", default=None,
                     help="reparse an existing .xplane.pb instead of tracing")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the captured trace dir for --xspace reparse "
+                         "(default: deleted after parsing)")
     args = ap.parse_args()
 
-    path = args.xspace
+    path, outdir = args.xspace, None
     if path is None:
         outdir = capture(args.hidden, args.batch, args.T, args.predictor,
                          args.K, args.use_pallas, args.rng_impl,
                          args.precision)
         path = find_xspace(outdir)
-        print("xspace: %s" % path)
-    rows = summarize(path)
-    if not rows:
-        print("no device plane found; host planes:")
-        rows = summarize(path, device_only=False)
-    report(rows, args.K, args.top)
+        print("xspace: %s%s" % (
+            path, " (kept for --xspace reparse)" if args.keep
+            else " (deleted after parsing; --keep to retain)"))
+    try:
+        rows = summarize(path)
+        if not rows:
+            print("no device plane found; host planes:")
+            rows = summarize(path, device_only=False)
+            # busy/K is a per-DEVICE-step quantity; meaningless for host lines
+            report(rows, None, args.top)
+        else:
+            report(rows, args.K, args.top)
+    finally:
+        if outdir is not None and not args.keep:
+            import shutil
+
+            shutil.rmtree(outdir, ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -724,3 +724,40 @@ def test_rows_hash_twins_bit_identical():
     for r in range(R):
         one = np.asarray(_mha_hash_bits(seeds[r], 5, T))
         np.testing.assert_array_equal(rows_m[r], one)
+
+
+def test_win_crossover_rows_by_device_kind():
+    """Win-gates are measured, chip-specific crossovers: known kinds get
+    their row, off-TPU (interpret-mode tests) deterministically uses the
+    v5e row, and an unknown TPU kind warns ONCE then falls back to
+    fits-only gating (round-4 verdict #6)."""
+    import warnings
+
+    from vslnet_tpu.ops import pallas_kernels as pk
+
+    assert pk._win_row_for("tpu", "TPU v5e") is pk._WIN_ROW_V5E
+    assert pk._win_row_for("tpu", "TPU v5 lite") is pk._WIN_ROW_V5E
+    assert pk._win_row_for("cpu", "") is pk._WIN_ROW_V5E
+
+    pk._WARNED_UNKNOWN_KINDS.discard("TPU v99x")
+    with pytest.warns(UserWarning, match="pallas_crossover"):
+        assert pk._win_row_for("tpu", "TPU v99x") is None
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # second lookup must NOT warn again
+        assert pk._win_row_for("tpu", "TPU v99x") is None
+
+
+def test_win_gates_fall_back_to_fits_without_a_row(monkeypatch):
+    from vslnet_tpu.ops import pallas_kernels as pk
+
+    # with the v5e row, the reference shape (T=128, D=128) is OUTSIDE the
+    # win region even though the kernels fit
+    assert pk.mha_block_pallas_fits(128, 128, 8)
+    assert not pk.mha_block_pallas_wins(128, 128, 8)
+
+    monkeypatch.setattr(pk, "_win_thresholds", lambda: None)
+    assert pk.mha_block_pallas_wins(128, 128, 8) == \
+        pk.mha_block_pallas_fits(128, 128, 8)
+    assert pk.conv_block_pallas_wins(128, 128, 7, 4) == \
+        pk.conv_block_pallas_fits(128, 128, 7, 4)
+    assert pk.mha_pallas_wins(128, 128, 8) == pk.mha_pallas_fits(128, 128, 8)

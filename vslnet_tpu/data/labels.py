@@ -21,20 +21,23 @@ def compute_overlap(pred, gt):
     is squeezed accordingly (reference: util/data_util.py:76-95). Union uses
     the *hull* (min start, max end), not the set-union.
     """
-    pred_is_list = isinstance(pred[0], (list, tuple, np.ndarray))
-    gt_is_list = isinstance(gt[0], (list, tuple, np.ndarray))
-    pred_arr = np.asarray(pred if pred_is_list else [pred], dtype=np.float64)
-    gt_arr = np.asarray(gt if gt_is_list else [gt], dtype=np.float64)
-    inter_left = np.maximum(pred_arr[:, 0, None], gt_arr[None, :, 0])
-    inter_right = np.minimum(pred_arr[:, 1, None], gt_arr[None, :, 1])
-    inter = np.maximum(0.0, inter_right - inter_left)
-    union_left = np.minimum(pred_arr[:, 0, None], gt_arr[None, :, 0])
-    union_right = np.maximum(pred_arr[:, 1, None], gt_arr[None, :, 1])
-    union = np.maximum(1e-12, union_right - union_left)
-    overlap = 1.0 * inter / union
-    overlap = overlap if gt_is_list else overlap[:, 0]
-    overlap = overlap if pred_is_list else overlap[0]
-    return overlap
+    pred_is_seq = isinstance(pred[0], (list, tuple, np.ndarray))
+    gt_is_seq = isinstance(gt[0], (list, tuple, np.ndarray))
+    p = np.atleast_2d(np.asarray(pred, dtype=np.float64))
+    g = np.atleast_2d(np.asarray(gt, dtype=np.float64))
+    # broadcast to the pairwise [n_pred, n_gt] grid of interval edges
+    p_lo, p_hi = p[:, 0, None], p[:, 1, None]
+    g_lo, g_hi = g[None, :, 0], g[None, :, 1]
+    common = np.clip(np.minimum(p_hi, g_hi) - np.maximum(p_lo, g_lo),
+                     0.0, None)
+    hull = np.maximum(np.maximum(p_hi, g_hi) - np.minimum(p_lo, g_lo),
+                      1e-12)
+    iou = common / hull
+    if not gt_is_seq:
+        iou = iou[:, 0]
+    if not pred_is_seq:
+        iou = iou[0]
+    return iou
 
 
 def time_to_index(start_time, end_time, num_units, duration):
@@ -55,13 +58,12 @@ def time_to_index(start_time, end_time, num_units, duration):
     # candidates[i, j] = [s_times[i], e_times[j]]
     cand_s = np.repeat(s_times[:, None], num_units, axis=1).astype(np.float64)
     cand_e = np.repeat(e_times[None, :], num_units, axis=0).astype(np.float64)
-    inter_left = np.maximum(cand_s, float(start_time))
-    inter_right = np.minimum(cand_e, float(end_time))
-    inter = np.maximum(0.0, inter_right - inter_left)
-    union_left = np.minimum(cand_s, float(start_time))
-    union_right = np.maximum(cand_e, float(end_time))
-    union = np.maximum(1e-12, union_right - union_left)
-    overlaps = inter / union
+    gt_s, gt_e = float(start_time), float(end_time)
+    common = np.clip(np.minimum(cand_e, gt_e) - np.maximum(cand_s, gt_s),
+                     0.0, None)
+    hull = np.maximum(np.maximum(cand_e, gt_e) - np.minimum(cand_s, gt_s),
+                      1e-12)
+    overlaps = common / hull
     flat = int(np.argmax(overlaps))
     start_index = flat // num_units
     end_index = flat % num_units

@@ -841,7 +841,10 @@ def mha_pallas_wins(T, D, n_heads):
     thresholds; the block kernel preempts it whenever it also fits).
     Flash at long T is gated separately (mha_flash_fits) — its win is
     memory-shaped, not overhead-shaped."""
-    return ((D >= _BLOCK_WIN_MIN_D or T >= _MHA_BLOCK_WIN_MIN_T)
+    row = _win_thresholds()
+    if row is None:
+        return mha_pallas_fits(T, D, n_heads)
+    return ((D >= row["block_min_d"] or T >= row["mha_block_min_t"])
             and mha_pallas_fits(T, D, n_heads))
 
 
@@ -1114,25 +1117,67 @@ def _make_conv_block_bwd_kernel(num_layers, kernel_size, drop_rate, dtype,
 
 
 # Measured crossovers for the whole-block kernels under the fused
-# multi-step train regime (v5e, 2026-08). At T=128/D=128 (the reference
-# shape) XLA's fused small-matmul graph beats them — 1179 vs 1139
-# steps/s whole model — because XLA's autodiff reuses saved residuals
-# while the recompute-based kernel backward replays its forward, and
-# everything is overhead-shaped. The kernels win when either dimension
-# grows: at D=1024 (chip-saturating) they tie-or-win (44.96 vs 44.82
-# steps/s) with the whole block VMEM-resident, and along T (B=8, D=128)
-# the conv kernel wins from T=256 (+13% whole model) and the attention
-# block from T=512 (block+conv 2.29 vs 3.58 ms/step, 1.56x) as XLA
-# starts paying HBM round-trips between every stage. The *_wins gates
-# encode exactly the measured win regions; explicit --use_pallas on
-# still forces the kernels anywhere they fit.
-_BLOCK_WIN_MIN_D = 512
-_MHA_BLOCK_WIN_MIN_T = 512
-_CONV_WIN_MIN_T = 256
+# multi-step train regime, keyed by TPU device kind. The v5e row
+# (measured 2026-08 via scripts/pallas_crossover.py +
+# scripts/measure_scaling.py on the live chip): at T=128/D=128 (the
+# reference shape) XLA's fused small-matmul graph beats the kernels —
+# 1179 vs 1139 steps/s whole model — because XLA's autodiff reuses saved
+# residuals while the recompute-based kernel backward replays its
+# forward, and everything is overhead-shaped. The kernels win when
+# either dimension grows: at D=1024 (chip-saturating) they tie-or-win
+# (44.96 vs 44.82 steps/s) with the whole block VMEM-resident, and along
+# T (B=8, D=128) the conv kernel wins from T=256 (+13% whole model) and
+# the attention block from T=512 (block+conv 2.29 vs 3.58 ms/step,
+# 1.56x) as XLA starts paying HBM round-trips between every stage.
+#
+# Crossovers are CHIP-SPECIFIC (they encode where one chip's measured
+# XLA-vs-Mosaic balance flips), unlike the *_fits VMEM models, which are
+# analytic and transfer. So: `auto` routing on a TPU kind with no row
+# falls back to fits-only gating with a one-line warning (run
+# scripts/pallas_crossover.py there and add the measured row); off-TPU
+# the kernels run in interpreter mode for parity tests only, and the
+# v5e row applies so routing stays deterministic. Explicit
+# --use_pallas=on still forces the kernels anywhere they fit.
+_WIN_ROW_V5E = {"block_min_d": 512, "mha_block_min_t": 512,
+                "conv_min_t": 256}
+_WIN_CROSSOVERS = {
+    "TPU v5e": _WIN_ROW_V5E,
+    "TPU v5 lite": _WIN_ROW_V5E,  # device_kind string some builds report
+}
+_WARNED_UNKNOWN_KINDS = set()
+
+
+def _win_row_for(backend, device_kind):
+    """Crossover row for (backend, device_kind); None means fits-only
+    fallback (unknown TPU kind). Pure function of its arguments so the
+    fallback is unit-testable without faking a backend."""
+    if backend != "tpu":
+        return _WIN_ROW_V5E
+    row = _WIN_CROSSOVERS.get(device_kind)
+    if row is None and device_kind not in _WARNED_UNKNOWN_KINDS:
+        _WARNED_UNKNOWN_KINDS.add(device_kind)
+        import warnings
+
+        warnings.warn(
+            "no measured Pallas win-crossover row for TPU kind %r; auto "
+            "routing falls back to fits-only gating. Measure with "
+            "scripts/pallas_crossover.py and add a row to "
+            "ops/pallas_kernels._WIN_CROSSOVERS." % device_kind,
+            stacklevel=3)
+    return row
+
+
+def _win_thresholds():
+    backend = jax.default_backend()
+    kind = jax.devices()[0].device_kind if backend == "tpu" else ""
+    return _win_row_for(backend, kind)
 
 
 def conv_block_pallas_wins(T, D, kernel_size, num_layers):
-    return ((D >= _BLOCK_WIN_MIN_D or T >= _CONV_WIN_MIN_T)
+    row = _win_thresholds()
+    if row is None:
+        return conv_block_pallas_fits(T, D, kernel_size, num_layers)
+    return ((D >= row["block_min_d"] or T >= row["conv_min_t"])
             and conv_block_pallas_fits(T, D, kernel_size, num_layers))
 
 
@@ -1613,9 +1658,12 @@ def mha_block_pallas_fits(T, D, n_heads, budget_bytes=None):
 
 
 def mha_block_pallas_wins(T, D, n_heads):
-    """Measured-winner gate (see _BLOCK_WIN_MIN_D/_MHA_BLOCK_WIN_MIN_T):
-    fits AND inside the measured win region (wide D or long T)."""
-    return ((D >= _BLOCK_WIN_MIN_D or T >= _MHA_BLOCK_WIN_MIN_T)
+    """Measured-winner gate (see _WIN_CROSSOVERS): fits AND inside the
+    device kind's measured win region (wide D or long T)."""
+    row = _win_thresholds()
+    if row is None:
+        return mha_block_pallas_fits(T, D, n_heads)
+    return ((D >= row["block_min_d"] or T >= row["mha_block_min_t"])
             and mha_block_pallas_fits(T, D, n_heads))
 
 
