@@ -76,6 +76,31 @@ def _remaining():
     return BENCH_BUDGET_S - _elapsed()
 
 
+def _note(msg):
+    """Timestamped progress line on stderr: the JSON artifact stays a
+    single stdout line, but an overrun/stall becomes diagnosable from the
+    driver's captured stderr (BENCH_r04 was an opaque rc=124)."""
+    import sys
+
+    print("[bench %7.1fs] %s" % (_elapsed(), msg), file=sys.stderr,
+          flush=True)
+
+
+def _warmup_backend():
+    """Force one trivial compile+execute+fetch before any timed work.
+
+    Measured on the axon tunnel: the FIRST device execution a process
+    fetches can stall minutes (176s/286s/490s observed; once 26+ min —
+    the entire BENCH_r04 budget) in a tunnel-session setup/backoff path,
+    while a process that first fetches a trivial op pays ~2s and then
+    runs every later first-execution at normal speed. Absorb that cost
+    here, record it in the artifact, and let the section floors budget
+    against honest remaining time."""
+    import jax.numpy as jnp
+
+    np.asarray(jax.jit(lambda a: a + 1)(jnp.zeros((8, 128))))
+
+
 def _run_section(name, floor_s, fn, *args, **kwargs):
     """Run one bench section under the global budget. Skips (with a note
     in the final JSON) when less than `floor_s` of budget remains; a
@@ -87,15 +112,20 @@ def _run_section(name, floor_s, fn, *args, **kwargs):
             "reason": "budget: %.0fs left < %.0fs floor" % (
                 _remaining(), floor_s),
         })
+        _note("SKIP %s (%.0fs left < %.0fs floor)" % (
+            name, _remaining(), floor_s))
         return None
+    _note("section %s start (%.0fs left)" % (name, _remaining()))
     t0 = time.perf_counter()
     try:
         out = fn(*args, **kwargs)
     except Exception as e:  # noqa: BLE001 — the artifact must still print
         SKIPPED.append({"section": name, "reason": "error: %r" % e})
+        _note("section %s ERROR: %r" % (name, e))
         return None
     finally:
         SECTIONS_ELAPSED[name] = round(time.perf_counter() - t0, 1)
+        _note("section %s done in %.1fs" % (name, SECTIONS_ELAPSED[name]))
     if out is not None:
         RESULTS[name] = out
     return out
@@ -230,11 +260,19 @@ def _mfu_pct(flops_per_step, steps_per_sec, digits=3):
     )
 
 
-def bench_predictor(predictor, use_pallas="auto"):
+def bench_predictor(predictor, use_pallas="auto", section=None):
+    """One predictor section, internally sub-budgeted: the regimes run
+    headline-first (fused -> flops/MFU -> device -> e2e -> eval) and each
+    checks the remaining global budget before starting, so a stall in a
+    later regime can never take the fused headline down with it
+    (BENCH_r04/r05-dry-run failure mode: one opaque stall inside this
+    function ate the whole budget)."""
     from vslnet_tpu.config import Config
     from vslnet_tpu.data.synthetic import synthetic_dataset
     from vslnet_tpu.parallel.mesh import make_mesh, shard_batch
     from vslnet_tpu.train.runner import Runner, prefetch_to_device
+
+    section = section or predictor
 
     configs = Config(
         batch_size=16,
@@ -267,49 +305,38 @@ def bench_predictor(predictor, use_pallas="auto"):
         "opt": runner.opt_state,
         "m": None,
     }
+    out = {}
 
-    def run_device(n_steps):
-        for i in range(n_steps):
-            state["params"], state["opt"], state["m"] = runner.train_step(
-                state["params"], runner.frozen, state["opt"],
-                batches[i % len(batches)], runner.rng, i,
-            )
-        return state["m"]["loss"]
+    def sub(name, floor_s, fn):
+        """One regime under the global budget; failures/skips are recorded
+        per-regime so the rest of the section still lands."""
+        key = "%s.%s" % (section, name)
+        if _remaining() < floor_s:
+            SKIPPED.append({
+                "section": key,
+                "reason": "budget: %.0fs left < %.0fs floor" % (
+                    _remaining(), floor_s),
+            })
+            _note("SKIP %s (%.0fs left < %.0fs floor)" % (
+                key, _remaining(), floor_s))
+            return
+        _note("%s start (%.0fs left)" % (key, _remaining()))
+        t0 = time.perf_counter()
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001 — keep the rest of the section
+            SKIPPED.append({"section": key, "reason": "error: %r" % e})
+            _note("%s ERROR: %r" % (key, e))
+        finally:
+            SECTIONS_ELAPSED[key] = round(time.perf_counter() - t0, 1)
 
-    # warmup / compile
-    np.asarray(run_device(5))
-
-    flops_per_step = _flops_per_step(runner, batches[0], configs, dataset,
-                                     feats)
-
-    device = _time_windows(run_device)
-
-    def run_e2e(n_steps):
-        # the REAL loop: per-epoch shuffle + gather/pad on host + async H2D
-        # prefetch + device step (mirrors Runner.train, runner.py)
-        done = 0
-        while done < n_steps:
-            it = prefetch_to_device(runner.train_loader.batch_iter(), mesh)
-            for _, batch in it:
-                state["params"], state["opt"], state["m"] = runner.train_step(
-                    state["params"], runner.frozen, state["opt"], batch,
-                    runner.rng, done,
-                )
-                done += 1
-                if done >= n_steps:
-                    break
-        return state["m"]["loss"]
-
-    np.asarray(run_e2e(5))
-    e2e = _time_windows(run_e2e)
-
-    # fused multi-step regime: the DEFAULT train path on device-resident
-    # data (fused_steps=auto, runner.py make_train_many) — one dispatch
+    # ---- fused regime FIRST: it is the headline number --------------
+    # fused multi-step: the DEFAULT train path on device-resident data
+    # (fused_steps=auto, runner.py make_train_many) — one dispatch
     # carries a [K,B] id block and lax.scan runs K whole optimization
     # steps on-device; mirrors Runner.train's chunk loop incl. the
     # per-chunk loss readback the real loop pays for logging
-    fused = None
-    if runner.use_fused_steps:
+    def do_fused():
         blocks = np.concatenate(
             [runner.train_loader.epoch_idxs() for _ in range(30)], axis=0
         )
@@ -331,56 +358,111 @@ def bench_predictor(predictor, use_pallas="auto"):
         np.asarray(run_fused(5))
         np.asarray(run_fused(K_fused))  # compile the timed K
         fused = _time_windows(run_fused, n_steps=K_fused)
-
-    # eval queries/s: the whole-split fused eval (BASELINE.json headline
-    # metric #2); runner.evaluate fetches decoded indices to host and
-    # computes the IoU metrics, i.e. the full real evaluation cost
-    runner.params = state["params"]
-    n_eval = runner.test_loader.num_samples("test")
-    runner.evaluate(mode="test")  # compile + warm
-    eval_rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        runner.evaluate(mode="test")
-        eval_rates.append(n_eval / (time.perf_counter() - t0))
-    eval_qps = {
-        "median": round(float(np.median(eval_rates)), 1),
-        "min": round(float(min(eval_rates)), 1),
-        "max": round(float(max(eval_rates)), 1),
-    }
-
-    assert np.isfinite(float(state["m"]["loss"]))
-    mfu_pct = _mfu_pct(flops_per_step, device["median"])
-    out = {
-        "device_steps_per_sec": device,
-        "end_to_end_steps_per_sec": e2e,
-        "examples_per_sec": round(e2e["median"] * configs.batch_size, 1),
-        "eval_queries_per_sec": eval_qps,
-        "flops_per_step": flops_per_step if np.isfinite(flops_per_step) else None,
-        "mfu_pct": mfu_pct,
-    }
-    if fused is not None:
         out["fused_steps_per_sec"] = fused
         out["examples_per_sec"] = round(
             fused["median"] * configs.batch_size, 1
         )
-        mfu_fused = _mfu_pct(flops_per_step, fused["median"])
-        if mfu_fused is not None:
-            out["mfu_pct_fused"] = mfu_fused
-    return out
+
+    if runner.use_fused_steps:
+        sub("fused", 60, do_fused)
+
+    # ---- algorithmic FLOPs -> MFU ------------------------------------
+    def do_flops():
+        flops = _flops_per_step(runner, batches[0], configs, dataset, feats)
+        if np.isfinite(flops):
+            out["flops_per_step"] = flops
+            fused = out.get("fused_steps_per_sec")
+            if fused is not None:
+                out["mfu_pct_fused"] = _mfu_pct(flops, fused["median"])
+
+    sub("flops", 45, do_flops)
+
+    # ---- per-step device regime --------------------------------------
+    def run_device(n_steps):
+        for i in range(n_steps):
+            state["params"], state["opt"], state["m"] = runner.train_step(
+                state["params"], runner.frozen, state["opt"],
+                batches[i % len(batches)], runner.rng, i,
+            )
+        return state["m"]["loss"]
+
+    def do_device():
+        np.asarray(run_device(5))  # warmup / compile
+        device = _time_windows(run_device)
+        out["device_steps_per_sec"] = device
+        flops = out.get("flops_per_step")
+        if flops is not None:
+            out["mfu_pct"] = _mfu_pct(flops, device["median"])
+
+    sub("device", 60, do_device)
+
+    # ---- end-to-end regime (host pipeline) ----------------------------
+    def run_e2e(n_steps):
+        # the REAL loop: per-epoch shuffle + gather/pad on host + async H2D
+        # prefetch + device step (mirrors Runner.train, runner.py)
+        done = 0
+        while done < n_steps:
+            it = prefetch_to_device(runner.train_loader.batch_iter(), mesh)
+            for _, batch in it:
+                state["params"], state["opt"], state["m"] = runner.train_step(
+                    state["params"], runner.frozen, state["opt"], batch,
+                    runner.rng, done,
+                )
+                done += 1
+                if done >= n_steps:
+                    break
+        return state["m"]["loss"]
+
+    def do_e2e():
+        np.asarray(run_e2e(5))
+        e2e = _time_windows(run_e2e)
+        out["end_to_end_steps_per_sec"] = e2e
+        if "examples_per_sec" not in out:
+            out["examples_per_sec"] = round(
+                e2e["median"] * configs.batch_size, 1)
+
+    if "device_steps_per_sec" in out:  # e2e needs the train_step compile
+        sub("e2e", 45, do_e2e)
+
+    # ---- eval queries/s ------------------------------------------------
+    # the whole-split fused eval (BASELINE.json headline metric #2);
+    # runner.evaluate fetches decoded indices to host and computes the IoU
+    # metrics, i.e. the full real evaluation cost
+    def do_eval():
+        runner.params = state["params"]
+        n_eval = runner.test_loader.num_samples("test")
+        runner.evaluate(mode="test")  # compile + warm
+        eval_rates = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            runner.evaluate(mode="test")
+            eval_rates.append(n_eval / (time.perf_counter() - t0))
+        out["eval_queries_per_sec"] = {
+            "median": round(float(np.median(eval_rates)), 1),
+            "min": round(float(min(eval_rates)), 1),
+            "max": round(float(max(eval_rates)), 1),
+        }
+
+    sub("eval", 90, do_eval)
+
+    if state["m"] is not None:
+        assert np.isfinite(float(state["m"]["loss"]))
+    return out or None
 
 
 def bench_saturated():
-    """Chip-saturating configuration (hidden=1024, B=64): the reference
+    """Chip-saturating configuration (hidden=1024, B=128): the reference
     shape is dispatch-bound at 0.7M params, so its 2-4% MFU says nothing
     about what the chip can do — this key keeps the record honest
-    (round-2 verdict, weak #4). One fused chunk, 4 timed windows."""
+    (round-2 verdict, weak #4). One fused chunk, 4 timed windows.
+    B=128/K=50 is the measured sweep winner on this v5e (47.7% MFU vs
+    45.4% at B=64/K=100 and 44.7% at B=64/K=50)."""
     from vslnet_tpu.config import Config
     from vslnet_tpu.data.synthetic import synthetic_dataset
     from vslnet_tpu.parallel.mesh import make_mesh
     from vslnet_tpu.train.runner import Runner
 
-    hidden, B = 1024, 64
+    hidden, B = 1024, 128
     configs = Config(
         batch_size=B, max_pos_len=128, video_feature_dim=1024,
         hidden_size=hidden, num_heads=8, predictor="transformer",
@@ -393,9 +475,12 @@ def bench_saturated():
     )
     runner = Runner(configs, dataset, feats, mesh=make_mesh())
     K = 50
+    per_epoch = runner.train_loader.epoch_idxs().shape[0]
     blocks = np.concatenate(
-        [runner.train_loader.epoch_idxs() for _ in range(20)], axis=0
+        [runner.train_loader.epoch_idxs()
+         for _ in range(-(-K // per_epoch))], axis=0
     )[:K]
+    assert blocks.shape[0] == K  # a short block would inflate steps/s
     ids = jax.device_put(blocks)
     state = [runner.params, runner.opt_state]
 
@@ -589,13 +674,23 @@ def bench_long_context(Ts=(512, 1024, 2048, 4096), B=8):
     at 128 clips via offline mean-pooling (util/data_util.py:58-73); this
     records what the same train step does at 4x-32x that resolution, with
     per-T MFU and the attention kernel the gating engaged. Each row is
-    budget-gated independently — bigger T compiles cost more, so floors
-    scale with T; rows that miss the budget are skip-noted."""
+    budget-gated independently with an ADAPTIVE floor: a cold T=1024 row
+    measured 6.4x the cold T=512 row (592s vs 93s — the flash fwd+bwd
+    Mosaic compiles dominate, and they scale super-linearly in T), so the
+    next row's floor is 6x the previous row's measured elapsed. On a warm
+    compile cache rows cost tens of seconds and the chain proceeds; on a
+    cold cache the chain stops before a row that would blow the global
+    budget (BENCH_r05 dry-run: T=1024 overran its static floor by 438s)."""
     rows = []
+    prev_elapsed = None
     for T in Ts:
-        floor = 90 + T // 16  # ~122s at T=512 .. ~346s at T=4096
+        floor = 90 + T // 16  # static lower bound: ~122s at T=512
+        if prev_elapsed is not None:
+            floor = max(floor, 6.0 * prev_elapsed)
         row = _run_section("long_context_T%d" % T, floor,
                            _bench_long_context_one, T, B)
+        prev_elapsed = SECTIONS_ELAPSED.get("long_context_T%d" % T,
+                                            prev_elapsed)
         if row is not None:
             rows.append(row)
             RESULTS.pop("long_context_T%d" % T, None)
@@ -665,6 +760,7 @@ def main():
     enable_compilation_cache()
     _install_flush_handlers()
     _require_live_backend(timeout_s=min(600.0, BENCH_BUDGET_S / 2))
+    _run_section("warmup", 0, _warmup_backend)
 
     # Headline-first ordering: each later section only runs if the budget
     # allows. Floors are compile-inclusive worst cases on a COLD XLA cache;
@@ -675,7 +771,8 @@ def main():
     # default (auto) runs the rnn head on the fused Pallas recurrence, the
     # measured winner; rnn_scan re-measures the pure lax.scan LSTM every
     # round so the crossover claim stays verified
-    _run_section("rnn_scan", 150, bench_predictor, "rnn", use_pallas="off")
+    _run_section("rnn_scan", 150, bench_predictor, "rnn",
+                 use_pallas="off", section="rnn_scan")
     _run_section("long_context", 130, bench_long_context)
     ring_budget = _remaining() - 30
     if ring_budget >= 240:

@@ -102,3 +102,33 @@ def test_long_context_rows_budget_gated_per_T(bench):
     assert out is None
     assert {n["section"] for n in bench.SKIPPED} == {
         "long_context_T512", "long_context_T1024"}
+
+
+def test_long_context_floor_adapts_to_measured_row_cost(bench, monkeypatch):
+    """The T=2x row's floor is 6x the previous row's measured elapsed
+    (cold-cache compiles scale super-linearly in T): a slow first row must
+    skip the next row even when the static formula floor would allow it."""
+    bench._T0 = time.perf_counter()  # fresh full budget
+
+    def fake_row(T, B):
+        # pretend the T=512 row consumed most of the budget
+        bench.SECTIONS_ELAPSED["long_context_T%d" % T] = (
+            bench.BENCH_BUDGET_S / 6.0) + 10
+        return {"max_pos_len": T, "batch_size": B}
+
+    monkeypatch.setattr(bench, "_bench_long_context_one", fake_row)
+    # keep _run_section from overwriting the faked elapsed: call through
+    orig = bench._run_section
+
+    def run_section(name, floor, fn, *a, **kw):
+        out = orig(name, floor, fn, *a, **kw)
+        if out is not None:  # restore the faked cost after the real timer
+            bench.SECTIONS_ELAPSED[name] = (bench.BENCH_BUDGET_S / 6.0) + 10
+        return out
+
+    monkeypatch.setattr(bench, "_run_section", run_section)
+    out = bench.bench_long_context(Ts=(512, 1024), B=8)
+    assert out is not None and out["max_pos_len"] == 512
+    skipped = {n["section"]: n["reason"] for n in bench.SKIPPED}
+    assert "long_context_T1024" in skipped
+    assert "floor" in skipped["long_context_T1024"]
