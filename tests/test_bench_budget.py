@@ -104,6 +104,68 @@ def test_long_context_rows_budget_gated_per_T(bench):
         "long_context_T512", "long_context_T1024"}
 
 
+def test_section_no_result_leaves_skip_note(bench):
+    """A section that returns None without raising (e.g. a child-process
+    timeout swallowed internally) must leave a trace in the artifact."""
+    out = bench._run_section("ring_cpu8", 0, lambda: None)
+    assert out is None
+    (note,) = bench.SKIPPED
+    assert note["section"] == "ring_cpu8" and note["reason"] == "no result"
+    # warmup-style sections opt out: no result IS the expected outcome
+    bench.SKIPPED.clear()
+    bench._run_section("warmup", 0, lambda: None, expect_result=False)
+    assert not bench.SKIPPED
+
+
+def test_ring_partial_results_survive_child_timeout(bench, monkeypatch):
+    """A ring child killed at its timeout after printing RING_PART lines
+    still yields the completed tags, flagged partial (live r5 failure
+    mode: 513s of cold XLA:CPU compiles, then nothing in the artifact)."""
+    import subprocess
+
+    def fake_run(cmd, stdout=None, **kw):
+        stdout.write('RING_PART:{"dp8": 12.5}\n')
+        stdout.flush()
+        raise subprocess.TimeoutExpired(cmd, kw.get("timeout"))
+
+    monkeypatch.setattr("subprocess.run", fake_run)
+    out = bench._bench_ring_overhead(timeout_s=1)
+    assert out == {"dp8": 12.5, "partial": True}
+
+
+def test_long_context_warm_row_uses_2x_floor(bench, monkeypatch):
+    """A previous row that finished UNDER its static floor (warm compile
+    cache) must not impose the 6x cold-cache multiplier on the next row
+    (live r5 run: T=2048 warm in 92.7s made T=4096's floor 556s > budget
+    left, skipping a row that would have cost ~100s)."""
+    bench._T0 = time.perf_counter()  # fresh full budget
+
+    calls = []
+
+    def fake_row(T, B):
+        calls.append(T)
+        # warm rows: well under every static floor
+        bench.SECTIONS_ELAPSED["long_context_T%d" % T] = 80.0
+        return {"max_pos_len": T, "batch_size": B}
+
+    monkeypatch.setattr(bench, "_bench_long_context_one", fake_row)
+    orig = bench._run_section
+
+    def run_section(name, floor, fn, *a, **kw):
+        out = orig(name, floor, fn, *a, **kw)
+        if out is not None:
+            bench.SECTIONS_ELAPSED[name] = 80.0
+        return out
+
+    monkeypatch.setattr(bench, "_run_section", run_section)
+    # consume most of the budget: 6x80=480 would skip the later rows,
+    # 2x80=160 (and T2048's 218 static) lets them run
+    bench._T0 = time.perf_counter() - (bench.BENCH_BUDGET_S - 300)
+    out = bench.bench_long_context(Ts=(512, 1024, 2048), B=8)
+    assert calls == [512, 1024, 2048]
+    assert out is not None and out["max_pos_len"] == 2048
+
+
 def test_long_context_floor_adapts_to_measured_row_cost(bench, monkeypatch):
     """The T=2x row's floor is 6x the previous row's measured elapsed
     (cold-cache compiles scale super-linearly in T): a slow first row must
