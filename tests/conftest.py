@@ -12,6 +12,20 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# This box has ONE CPU core and the suite's wall time is dominated by
+# XLA:CPU compilation of tiny train steps. Low backend-optimization
+# effort halves measured cold compile time (44.9s -> 30.6s for one cold
+# e2e test, warm runtime unchanged at ~15s) and the pinned numerics are
+# unaffected (golden_losses + reference-parity verified under these
+# flags). Opt out with VSLNET_TEST_FAST_COMPILE=0.
+if os.environ.get("VSLNET_TEST_FAST_COMPILE", "1").lower() not in (
+        "0", "off", "false", "no"):
+    _fast = ("--xla_backend_optimization_level=0"
+             " --xla_llvm_disable_expensive_passes=true")
+    if _fast not in os.environ.get("XLA_FLAGS", ""):
+        os.environ["XLA_FLAGS"] = (
+            os.environ.get("XLA_FLAGS", "") + " " + _fast).strip()
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

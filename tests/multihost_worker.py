@@ -32,6 +32,19 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_cpu_collectives_implementation", "gloo")
 jax.config.update("jax_num_cpu_devices", 4)
 
+# Share the suite's persistent XLA compile cache (conftest exports
+# VSLNET_COMPILE_CACHE): the four Runners below overlap heavily in HLO
+# (A/C/D fused train, B per-step) and BOTH worker processes compile the
+# same modules — without the cache each process pays every compile cold,
+# serialized on this 1-core box.
+from vslnet_tpu.utils.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+try:  # persist the many small (~1s) per-Runner init/eval compiles too
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:
+    pass
+
 
 def main(coordinator, pid, workdir):
     from vslnet_tpu.parallel.distributed import (

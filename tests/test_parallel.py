@@ -364,7 +364,15 @@ def test_two_process_multihost_smoke(tmp_path):
         s.bind(("127.0.0.1", 0))
         coord = "127.0.0.1:%d" % s.getsockname()[1]
     env = dict(os.environ)
-    env.pop("XLA_FLAGS", None)  # worker sets jax_num_cpu_devices itself
+    # strip only the 8-device flag (the worker sets jax_num_cpu_devices=4
+    # itself); keep the rest of XLA_FLAGS — conftest's fast-compile flags
+    # halve the workers' cold compile time
+    kept = [t for t in env.get("XLA_FLAGS", "").split()
+            if "xla_force_host_platform_device_count" not in t]
+    if kept:
+        env["XLA_FLAGS"] = " ".join(kept)
+    else:
+        env.pop("XLA_FLAGS", None)
     procs = [
         subprocess.Popen(
             [sys.executable, worker, coord, str(pid), str(tmp_path)],

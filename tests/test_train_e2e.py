@@ -614,28 +614,35 @@ def test_preempt_sigterm_saves_resumable_checkpoint(tmp_path, monkeypatch):
     completes the remaining step budget (the reference loses the whole run
     on any kill: no optimizer-state restore path, SURVEY.md §5)."""
     import signal as _signal
-    import threading as _threading
 
     # conftest disables the in-process preempt handler suite-wide (stray
     # SIGTERMs must not silently truncate other tests); opt back in here
     monkeypatch.setenv("VSLNET_TEST_ALLOW_PREEMPT", "1")
-    cfg = tiny_configs(tmp_path, epochs=40, eval_period=1000)
-    dataset, feats = tiny_data(cfg, seed=11, n_train=240)
+    # same dataset/split shapes as the sibling e2e tests (n_train=24 ->
+    # K=3 chunks) so train_many/eval HLOs are compile-cache hits; the old
+    # n_train=240 shape compiled a unique K=30 scan for this test alone
+    # (149s of the cold suite), and its 1200-step budget (there to keep a
+    # wall-clock SIGTERM timer racing a warm-cache run honest) cost ~100s
+    # of pure execution. Deterministic delivery instead: SIGTERM right
+    # after the first fused chunk returns — mid-train by construction at
+    # any cache temperature — so the budget can be small.
+    cfg = tiny_configs(tmp_path, epochs=20, eval_period=1000)
+    dataset, feats = tiny_data(cfg, seed=11)
     runner = Runner(cfg, dataset, feats)
     target = cfg.num_train_steps
-    assert target == 40 * runner.train_loader.num_batches()
-    # if the timer fires in the window before train() installs its handler,
-    # ignore the signal instead of dying
-    old = _signal.signal(_signal.SIGTERM, lambda *a: None)
-    try:
-        timer = _threading.Timer(
-            2.0, lambda: os.kill(os.getpid(), _signal.SIGTERM)
-        )
-        timer.start()
-        res = runner.train(verbose=False)
-        timer.cancel()
-    finally:
-        _signal.signal(_signal.SIGTERM, old)
+    assert target == 20 * runner.train_loader.num_batches()
+    real_train_many = runner.train_many
+    fired = []
+
+    def train_many_then_sigterm(*a, **kw):
+        out = real_train_many(*a, **kw)
+        if not fired:
+            fired.append(True)
+            os.kill(os.getpid(), _signal.SIGTERM)
+        return out
+
+    monkeypatch.setattr(runner, "train_many", train_many_then_sigterm)
+    res = runner.train(verbose=False)
     assert res["preempted"] is True
     assert res["global_step"] < target
     from vslnet_tpu.train.checkpoints import CheckpointManager
@@ -644,7 +651,7 @@ def test_preempt_sigterm_saves_resumable_checkpoint(tmp_path, monkeypatch):
     assert ckpt.latest_step() == res["global_step"]
     ckpt.close()
     # resume from the preempt save and complete the budget untouched
-    cfg2 = tiny_configs(tmp_path, epochs=40, eval_period=1000, resume=True)
+    cfg2 = tiny_configs(tmp_path, epochs=20, eval_period=1000, resume=True)
     r2 = Runner(cfg2, dataset, feats)
     res2 = r2.train(verbose=False)
     assert res2["preempted"] is False
