@@ -456,25 +456,28 @@ def bench_predictor(predictor, use_pallas="auto", section=None):
 
 
 def bench_saturated():
-    """Chip-saturating configuration (hidden=1024, B=128): the reference
+    """Chip-saturating configuration (hidden=1024, B=256): the reference
     shape is dispatch-bound at 0.7M params, so its 2-4% MFU says nothing
     about what the chip can do — this key keeps the record honest
     (round-2 verdict, weak #4). One fused chunk, 4 timed windows.
-    B=128/K=50 is the measured sweep winner on this v5e (47.7% MFU vs
-    45.4% at B=64/K=100 and 44.7% at B=64/K=50)."""
+    B=256/K=50 is the measured sweep winner on this v5e (49.2% MFU over
+    4 distinct batches vs 48.5 at B=512, 47.8 at B=128, 46.8 at B=192,
+    44.7 at B=64); the MXU plateaus ~48-49% for this model family."""
     from vslnet_tpu.config import Config
     from vslnet_tpu.data.synthetic import synthetic_dataset
     from vslnet_tpu.parallel.mesh import make_mesh
     from vslnet_tpu.train.runner import Runner
 
-    hidden, B = 1024, 128
+    hidden, B = 1024, 256
     configs = Config(
         batch_size=B, max_pos_len=128, video_feature_dim=1024,
         hidden_size=hidden, num_heads=8, predictor="transformer",
         precision="bf16", epochs=1, log_to_tensorboard=False,
     )
     dataset, feats = synthetic_dataset(
-        n_train=256, n_test=16, n_videos=16, n_words=1000, n_chars=40,
+        # 4 distinct batches per epoch: a 1-batch epoch would time K
+        # repeats of identical ids (suspiciously cache-friendly gathers)
+        n_train=1024, n_test=16, n_videos=16, n_words=1000, n_chars=40,
         max_pos_len=128, video_feature_dim=1024, word_dim=configs.word_dim,
         min_video_len=64, seed=0,
     )

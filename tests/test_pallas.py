@@ -275,7 +275,10 @@ def test_fused_lstm_under_dp_mesh():
     ps = jax.device_put(params, NamedSharding(mesh, P()))
     l_dp = float(jax.jit(loss)(ps, xs, ss))
     g_dp = jax.jit(jax.grad(loss))(ps, xs, ss)
-    np.testing.assert_allclose(l_dp, l_ref, rtol=1e-6)
+    # rtol headroom over 1e-6: the dp-sharded sum's reduction order
+    # legitimately differs from the single-device sum, and conftest's
+    # fast-compile flags shift it again (measured 1.06e-6 rel on fp32)
+    np.testing.assert_allclose(l_dp, l_ref, rtol=5e-6)
     for a, b in zip(jax.tree_util.tree_leaves(g_dp),
                     jax.tree_util.tree_leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
